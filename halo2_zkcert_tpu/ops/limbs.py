@@ -1,0 +1,290 @@
+"""Limb-plane big-integer arithmetic for TPU.
+
+Design (TPU-first, cf. SURVEY.md §7 step 1):
+
+* A field element is a vector of ``L = 33`` limbs in radix ``2^8``, least
+  significant first, stored as ``int32``.  8-bit limbs keep every partial
+  product of a schoolbook convolution exactly representable in int32 *and*
+  float32 (``33 * 511 * 511 < 2^24``), so the hot multiply can run on either
+  the VPU (int32) or the MXU (f32) without 64-bit integer emulation — TPUs
+  have no native u64 path (reference does 4x64-bit Montgomery mul on CPU,
+  halo2curves [dep] Cargo.lock:1359; that design does not map to TPU).
+
+* Representation is *lazy* (redundant): a "normalized" element has limbs
+  ``<= 511`` and value ``< 2^259`` — NOT canonical.  Arithmetic closes over
+  this class; values are only brought to canonical form (``< p``, limbs
+  ``<= 255``, 32 limbs) at serialization / transcript / equality boundaries.
+
+* Modular reduction is fold-based, not Montgomery: high limbs (position
+  >= 32) are folded down with a precomputed matrix ``FOLD[j] =
+  limbs(2^(8*(32+j)) mod p)`` — a tiny matmul — interleaved with 3-pass
+  carry relaxation.  A few rounds converge to the normalized class.
+
+All functions operate on arrays of shape ``(..., W)`` (trailing limb axis)
+and are jit/vmap/shard_map friendly (static shapes, no data-dependent
+control flow).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+LIMB_BITS = 8
+LIMB_MASK = (1 << LIMB_BITS) - 1
+NLIMBS = 33          # resident width: 264 bits capacity > 259-bit invariant
+CANON_LIMBS = 32     # canonical width for a 254-bit modulus
+
+
+def int_to_limbs(x: int, width: int = NLIMBS) -> np.ndarray:
+    """Python int -> little-endian 8-bit limb vector (int32 numpy)."""
+    assert x >= 0
+    out = np.zeros(width, dtype=np.int32)
+    for i in range(width):
+        out[i] = x & LIMB_MASK
+        x >>= LIMB_BITS
+    assert x == 0, "value does not fit in width limbs"
+    return out
+
+
+def limbs_to_int(a) -> int:
+    """Limb vector (any laziness) -> Python int."""
+    a = np.asarray(a)
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a.tolist()))
+
+
+def ints_to_limbs(xs, width: int = NLIMBS) -> np.ndarray:
+    """Batch version: list of ints -> (N, width) int32."""
+    return np.stack([int_to_limbs(int(x), width) for x in xs])
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static per-field data consumed by the limb kernels."""
+    name: str
+    modulus: int
+    p_limbs: np.ndarray          # (32,) canonical limbs of p
+    fold_mat: np.ndarray         # (FOLD_ROWS, 32) limbs of 2^(8*(32+j)) mod p
+    sub_pad: np.ndarray          # (NLIMBS,) multiple of p with all limbs >= 512
+    r_inv: int                   # unused placeholder for API parity
+    FOLD_ROWS: int = 40
+
+    @staticmethod
+    def make(name: str, modulus: int, fold_rows: int = 40) -> "FieldSpec":
+        p_limbs = int_to_limbs(modulus, CANON_LIMBS)
+        fold = np.stack([
+            int_to_limbs(pow(2, LIMB_BITS * (CANON_LIMBS + j), modulus), CANON_LIMBS)
+            for j in range(fold_rows)
+        ])
+        # A multiple of p whose base-256 digits are all in [512, 2047]:
+        # enables branch-free limbwise subtraction (a + sub_pad - b stays
+        # nonnegative per limb for normalized b). Greedy digit construction.
+        target_lo = sum(512 << (LIMB_BITS * i) for i in range(NLIMBS))
+        k = -(-target_lo // modulus) + 1
+        v = modulus * k
+        digits = np.zeros(NLIMBS, dtype=np.int64)
+        rem = v
+        for i in range(NLIMBS - 1, -1, -1):
+            base = 1 << (LIMB_BITS * i)
+            lo_rest = sum(512 << (LIMB_BITS * jj) for jj in range(i))
+            hi_rest = sum(2047 << (LIMB_BITS * jj) for jj in range(i))
+            d = max(512, min(2047, (rem - lo_rest) // base))
+            while d * base + hi_rest < rem:
+                d += 1
+            digits[i] = d
+            rem -= d * base
+            assert 512 <= d <= 2047, (name, i, d)
+        assert rem == 0
+        assert sum(int(d) << (LIMB_BITS * i) for i, d in enumerate(digits)) == v
+        return FieldSpec(
+            name=name, modulus=modulus, p_limbs=p_limbs, fold_mat=fold,
+            sub_pad=digits.astype(np.int32), r_inv=0, FOLD_ROWS=fold_rows,
+        )
+
+
+def _shift_up(x: jnp.ndarray) -> jnp.ndarray:
+    """Shift limbs up one position (multiply by 2^8), same width, drop top."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(1, 0)]
+    return jnp.pad(x, pad)[..., :-1]
+
+
+def carry_pass(x: jnp.ndarray, passes: int = 3, width: int | None = None) -> jnp.ndarray:
+    """Relax lazy limbs: after `passes` rounds, nonnegative limbs are < 512.
+
+    Extends width so top carries are not dropped. Input limbs must be
+    nonnegative and < 2^24 (so carries < 2^16).
+    """
+    if width is None:
+        width = x.shape[-1] + 3
+    if width > x.shape[-1]:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    for _ in range(passes):
+        lo = x & LIMB_MASK
+        hi = x >> LIMB_BITS
+        x = lo + _shift_up(hi)
+    return x
+
+
+def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook convolution of limb vectors: (..., La) x (..., Lb) -> (..., La+Lb).
+
+    Requires limbs <= 511 so coefficients stay < 2^24 (f32/int32-exact).
+    """
+    La, Lb = a.shape[-1], b.shape[-1]
+    out = jnp.zeros(a.shape[:-1] + (La + Lb,), dtype=jnp.int32)
+    for i in range(La):
+        out = out.at[..., i:i + Lb].add(a[..., i:i + 1] * b)
+    return out
+
+
+def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Fold limbs >= 32 down mod p: returns (..., 32) lazy coefficients.
+
+    x: (..., W) with W > 32, limbs <= 511.
+    Result coefficients <= 511 + (W-32)*511*255 — int32/f32-exact for W <= 67.
+    """
+    W = x.shape[-1]
+    low, high = x[..., :CANON_LIMBS], x[..., CANON_LIMBS:]
+    folded = jnp.einsum(
+        "...j,jk->...k", high, spec_fold[: W - CANON_LIMBS],
+        preferred_element_type=jnp.int32,
+    )
+    return low + folded
+
+
+def partial_reduce(spec: FieldSpec, x: jnp.ndarray, rounds: int = 5) -> jnp.ndarray:
+    """Bring any lazy value (coeffs < 2^24, any width) into the resident class:
+
+    (..., NLIMBS) with limbs <= 511 (limb 32 small), value < ~2^259,
+    congruent to x mod p. Pure vector ops; no data-dependent control flow.
+    """
+    fold = jnp.asarray(spec.fold_mat)
+    x = carry_pass(x)
+    for _ in range(rounds):
+        if x.shape[-1] <= CANON_LIMBS:
+            break
+        x = fold_once(fold, x)
+        x = carry_pass(x, width=x.shape[-1] + 3)
+    # after convergence limbs >= NLIMBS are zero; slice to resident width
+    return x[..., :NLIMBS]
+
+
+def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Modular add on resident values."""
+    return partial_reduce(spec, a + b, rounds=3)
+
+
+def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Modular subtract: a + (K*p - b), branch-free and nonnegative limbwise."""
+    pad = jnp.asarray(spec.sub_pad)
+    return partial_reduce(spec, a + (pad - b), rounds=3)
+
+
+def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    pad = jnp.asarray(spec.sub_pad)
+    return partial_reduce(spec, pad - a, rounds=3)
+
+
+def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Modular multiply on resident values."""
+    prod = conv_mul(a, b)
+    return partial_reduce(spec, prod, rounds=6)
+
+
+def mul_small(spec: FieldSpec, a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Multiply by a small constant (k < 2^13)."""
+    return partial_reduce(spec, a * jnp.int32(k), rounds=3)
+
+
+def sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return mul(spec, a, a)
+
+
+def canonical(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Exact canonical form: (..., 32) limbs <= 255, value < p.
+
+    Sequential exact carry (33 steps) + fixed rounds of compare-subtract.
+    Only for boundaries (serialization / equality / transcript); not hot.
+    """
+    x = partial_reduce(spec, a)
+    # exact carry: ripple from limb 0 upward (static unrolled; W=NLIMBS+1)
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 1)])
+    W = x.shape[-1]
+    for i in range(W - 1):
+        c = x[..., i] >> LIMB_BITS
+        x = x.at[..., i].add(-(c << LIMB_BITS)).at[..., i + 1].add(c)
+    # value now < ~2^259 with canonical limbs; subtract k*p greedily.
+    # max multiple: 2^259 / p < 64 -> subtract 32p, 16p, ... 1p conditionally.
+    for shift in (5, 4, 3, 2, 1, 0):
+        kp = jnp.asarray(int_to_limbs(spec.modulus << shift, W))
+        x = _cond_sub(x, kp)
+    return x[..., :CANON_LIMBS]
+
+
+def _cond_sub(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """x - m if x >= m else x. x canonical limbs (<256), m canonical const."""
+    # lexicographic compare from the top limb
+    W = x.shape[-1]
+    m = m.astype(jnp.int32)
+    ge = jnp.ones(x.shape[:-1], dtype=jnp.bool_)
+    decided = jnp.zeros(x.shape[:-1], dtype=jnp.bool_)
+    for i in range(W - 1, -1, -1):
+        xi, mi = x[..., i], m[..., i]
+        ge = jnp.where(~decided & (xi > mi), True, ge)
+        ge = jnp.where(~decided & (xi < mi), False, ge)
+        decided = decided | (xi != mi)
+    d = x - m
+    # ripple borrows (d_i in [-255, 255])
+    for i in range(W - 1):
+        borrow = (d[..., i] < 0).astype(jnp.int32)
+        d = d.at[..., i].add(borrow << LIMB_BITS).at[..., i + 1].add(-borrow)
+    return jnp.where(ge[..., None], d, x)
+
+
+def is_zero(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(canonical(spec, a) == 0, axis=-1)
+
+
+def eq(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(canonical(spec, a) == canonical(spec, b), axis=-1)
+
+
+def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
+    """a^e for a fixed Python-int exponent.
+
+    Uses a `lax.fori_loop` over exponent bits (LSB-first) so the traced graph
+    stays O(one multiply) — unrolling 254 squarings would explode compile
+    time. Compiler-friendly: static trip count, no data-dependent shapes.
+    """
+    if e == 0:
+        return jnp.zeros(a.shape, jnp.int32).at[..., 0].set(1)
+    nbits = e.bit_length()
+    bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.int32)
+    one = jnp.zeros(a.shape, jnp.int32).at[..., 0].set(1)
+
+    def body(i, state):
+        result, base = state
+        new_result = jnp.where(bits[i] == 1, mul(spec, result, base), result)
+        return new_result, sqr(spec, base)
+
+    result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+    return result
+
+
+def inv(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Batched modular inverse via Fermat: a^(p-2). 0 -> 0 (ff convention)."""
+    return pow_const(spec, a, spec.modulus - 2)
+
+
+def zeros_like_limbs(shape) -> jnp.ndarray:
+    return jnp.zeros(tuple(shape) + (NLIMBS,), dtype=jnp.int32)
+
+
+def const_limbs(spec: FieldSpec, value: int, shape=()) -> jnp.ndarray:
+    """Broadcast a Python-int constant to (..., NLIMBS) limbs."""
+    v = jnp.asarray(int_to_limbs(value % spec.modulus, NLIMBS))
+    return jnp.broadcast_to(v, tuple(shape) + (NLIMBS,))
