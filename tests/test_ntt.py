@@ -1,0 +1,80 @@
+"""NTT kernels vs Python-int DFT oracle (roots of unity, 2-adicity 28)."""
+import random
+
+import numpy as np
+import jax.numpy as jnp
+
+from halo2_zkcert_tpu.ops import ntt as nttmod
+from halo2_zkcert_tpu.ops.field import Fr
+from halo2_zkcert_tpu.utils import refcrypto as rc
+
+random.seed(7)
+
+
+def naive_dft(coeffs, k):
+    n = 1 << k
+    w = rc.fr_root_of_unity(k)
+    return [sum(coeffs[j] * pow(w, i * j, rc.FR) for j in range(n)) % rc.FR
+            for i in range(n)]
+
+
+def test_ntt_matches_naive_dft():
+    k = 5
+    n = 1 << k
+    xs = [random.randrange(rc.FR) for _ in range(n)]
+    a = Fr.from_ints(xs)
+    got = list(Fr.to_ints(nttmod.ntt(a, k)))
+    assert got == naive_dft(xs, k)
+
+
+def test_intt_roundtrip():
+    k = 8
+    n = 1 << k
+    xs = [random.randrange(rc.FR) for _ in range(n)]
+    a = Fr.from_ints(xs)
+    back = list(Fr.to_ints(nttmod.intt(nttmod.ntt(a, k), k)))
+    assert back == xs
+
+
+def test_convolution_theorem():
+    """NTT(a) * NTT(b) pointwise == NTT(a * b as polynomials mod X^n - 1)."""
+    k = 4
+    n = 1 << k
+    xs = [random.randrange(rc.FR) for _ in range(n)]
+    ys = [random.randrange(rc.FR) for _ in range(n)]
+    # cyclic convolution via Python ints
+    conv = [0] * n
+    for i in range(n):
+        for j in range(n):
+            conv[(i + j) % n] = (conv[(i + j) % n] + xs[i] * ys[j]) % rc.FR
+    a, b = Fr.from_ints(xs), Fr.from_ints(ys)
+    prod = Fr.mul(nttmod.ntt(a, k), nttmod.ntt(b, k))
+    got = list(Fr.to_ints(nttmod.intt(prod, k)))
+    assert got == conv
+
+
+def test_coset_roundtrip_and_values():
+    k = 4
+    n = 1 << k
+    g = 7  # Fr multiplicative generator (halo2curves GENERATOR)
+    xs = [random.randrange(rc.FR) for _ in range(n)]
+    a = Fr.from_ints(xs)
+    vals = list(Fr.to_ints(nttmod.coset_ntt(a, k, g)))
+    w = rc.fr_root_of_unity(k)
+    want = [sum(xs[j] * pow(g * pow(w, i, rc.FR) % rc.FR, j, rc.FR)
+                for j in range(n)) % rc.FR for i in range(n)]
+    assert vals == want
+    back = list(Fr.to_ints(nttmod.coset_intt(Fr.from_ints(vals), k, g)))
+    assert back == xs
+
+
+def test_ntt_multicolumn():
+    """Batch axis: (n, C, L) transforms each column independently."""
+    k, C = 4, 3
+    n = 1 << k
+    cols = [[random.randrange(rc.FR) for _ in range(n)] for _ in range(C)]
+    a = jnp.stack([Fr.from_ints(c) for c in cols], axis=1)
+    out = nttmod.ntt(a, k)
+    for c in range(C):
+        got = list(Fr.to_ints(out[:, c]))
+        assert got == naive_dft(cols[c], k)
