@@ -27,7 +27,7 @@ control flow).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -129,16 +129,33 @@ def carry_pass(x: jnp.ndarray, passes: int = 3, width: int | None = None) -> jnp
     return x
 
 
+@lru_cache(maxsize=16)
+def _conv_onehot(La: int, Lb: int) -> np.ndarray:
+    """Constant scatter tensor T[i, j, k] = 1 iff i + j == k."""
+    t = np.zeros((La, Lb, La + Lb), dtype=np.int32)
+    for i in range(La):
+        for j in range(Lb):
+            t[i, j, i + j] = 1
+    return t
+
+
 def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Schoolbook convolution of limb vectors: (..., La) x (..., Lb) -> (..., La+Lb).
 
     Requires limbs <= 511 so coefficients stay < 2^24 (f32/int32-exact).
+    Formulated as outer-product then constant one-hot matmul: 3 HLO ops
+    (vs a 33-step dynamic-update-slice chain, which exploded XLA compile
+    times inside scan/loop bodies) and a natural MXU target. Uses raw
+    dot_general, not einsum — opt_einsum path search at trace time was
+    the dominant cost of building large point-arithmetic graphs.
     """
     La, Lb = a.shape[-1], b.shape[-1]
-    out = jnp.zeros(a.shape[:-1] + (La + Lb,), dtype=jnp.int32)
-    for i in range(La):
-        out = out.at[..., i:i + Lb].add(a[..., i:i + 1] * b)
-    return out
+    t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb))
+    outer = a[..., :, None] * b[..., None, :]
+    return jax.lax.dot_general(
+        outer.reshape(a.shape[:-1] + (La * Lb,)), t,
+        dimension_numbers=(((outer.ndim - 2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
 
 
 def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -149,10 +166,10 @@ def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """
     W = x.shape[-1]
     low, high = x[..., :CANON_LIMBS], x[..., CANON_LIMBS:]
-    folded = jnp.einsum(
-        "...j,jk->...k", high, spec_fold[: W - CANON_LIMBS],
-        preferred_element_type=jnp.int32,
-    )
+    folded = jax.lax.dot_general(
+        high, spec_fold[: W - CANON_LIMBS],
+        dimension_numbers=(((high.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
     return low + folded
 
 
@@ -204,49 +221,99 @@ def sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mul(spec, a, a)
 
 
+def _table_carry(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact carry propagation via parallel-prefix carry-table composition.
+
+    Input limbs must be in [0, 510+2] so carries are in {0, 1, 2}. Each limb
+    contributes a 3-entry carry transfer table; tables compose associatively
+    (Kogge-Stone), so `lax.associative_scan` resolves all carries in
+    O(log W) vector steps — no sequential ripple, no dynamic-update-slices.
+    Output: (..., W+1) canonical digits in [0, 255].
+    """
+    # transfer tables: t[..., i, c] = carry out of limb i given carry-in c
+    t = jnp.stack([(x + c) >> LIMB_BITS for c in range(3)], axis=-1)
+
+    def compose(f, g):
+        # apply f (lower limbs) first, then g
+        return jnp.take_along_axis(g, f, axis=-1)
+
+    composed = jax.lax.associative_scan(compose, t, axis=-2)
+    carry_out = composed[..., 0]                     # (..., W): carry out of i
+    zeros = jnp.zeros_like(carry_out[..., :1])
+    carry_in = jnp.concatenate([zeros, carry_out], axis=-1)  # (..., W+1)
+    xpad = jnp.concatenate([x, jnp.zeros_like(x[..., :1])], axis=-1)
+    return (xpad + carry_in) & LIMB_MASK
+
+
+def exact_digits(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Any lazy value -> exact canonical base-256 digits (..., NLIMBS+1).
+
+    The value is untouched mod nothing — this is plain integer carrying;
+    result is the unique digit expansion of the (resident-reduced) integer.
+    """
+    x = partial_reduce(spec, a)
+    return _table_carry(x)
+
+
+def _lex_ge(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """x >= m lexicographically; both canonical digit arrays, same width."""
+    diff = x - m
+    nz = diff != 0
+    W = x.shape[-1]
+    first_nz_rev = jnp.argmax(nz[..., ::-1], axis=-1)
+    ms_idx = W - 1 - first_nz_rev
+    ms_val = jnp.take_along_axis(diff, ms_idx[..., None], axis=-1)[..., 0]
+    return jnp.where(jnp.any(nz, axis=-1), ms_val > 0, True)
+
+
 def canonical(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Exact canonical form: (..., 32) limbs <= 255, value < p.
 
-    Sequential exact carry (33 steps) + fixed rounds of compare-subtract.
-    Only for boundaries (serialization / equality / transcript); not hot.
+    Binary compare-subtract from 32p down to p; subtraction is done as
+    two's-complement addition + table carry (all vectorized selects).
+    Only used at boundaries (serialization / equality / transcript).
     """
-    x = partial_reduce(spec, a)
-    # exact carry: ripple from limb 0 upward (static unrolled; W=NLIMBS+1)
-    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 1)])
+    x = exact_digits(spec, a)                        # (..., W) W = NLIMBS+1
     W = x.shape[-1]
-    for i in range(W - 1):
-        c = x[..., i] >> LIMB_BITS
-        x = x.at[..., i].add(-(c << LIMB_BITS)).at[..., i + 1].add(c)
-    # value now < ~2^259 with canonical limbs; subtract k*p greedily.
-    # max multiple: 2^259 / p < 64 -> subtract 32p, 16p, ... 1p conditionally.
     for shift in (5, 4, 3, 2, 1, 0):
-        kp = jnp.asarray(int_to_limbs(spec.modulus << shift, W))
-        x = _cond_sub(x, kp)
+        m = int_to_limbs(spec.modulus << shift, W)
+        comp = jnp.asarray(int_to_limbs((1 << (LIMB_BITS * W)) - (spec.modulus << shift), W))
+        ge = _lex_ge(x, jnp.asarray(m))
+        sub = _table_carry(x + comp)[..., :W]        # drop the 2^(8W) overflow
+        x = jnp.where(ge[..., None], sub, x)
     return x[..., :CANON_LIMBS]
 
 
-def _cond_sub(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
-    """x - m if x >= m else x. x canonical limbs (<256), m canonical const."""
-    # lexicographic compare from the top limb
-    W = x.shape[-1]
-    m = m.astype(jnp.int32)
-    ge = jnp.ones(x.shape[:-1], dtype=jnp.bool_)
-    decided = jnp.zeros(x.shape[:-1], dtype=jnp.bool_)
-    for i in range(W - 1, -1, -1):
-        xi, mi = x[..., i], m[..., i]
-        ge = jnp.where(~decided & (xi > mi), True, ge)
-        ge = jnp.where(~decided & (xi < mi), False, ge)
-        decided = decided | (xi != mi)
-    d = x - m
-    # ripple borrows (d_i in [-255, 255])
-    for i in range(W - 1):
-        borrow = (d[..., i] < 0).astype(jnp.int32)
-        d = d.at[..., i].add(borrow << LIMB_BITS).at[..., i + 1].add(-borrow)
-    return jnp.where(ge[..., None], d, x)
+def canonical_pad(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Canonical value padded back to resident width (..., NLIMBS)."""
+    c = canonical(spec, a)
+    return jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, NLIMBS - CANON_LIMBS)])
+
+
+_KP_MAX = 64  # resident values are < 2^259 < 64p — see partial_reduce
+
+
+@lru_cache(maxsize=8)
+def _kp_tables(modulus: int):
+    """Digit table of k*p for k < 64 and their 24-bit low keys (distinct)."""
+    digits = np.stack([int_to_limbs(k * modulus, NLIMBS + 1) for k in range(_KP_MAX)])
+    keys = np.asarray([(k * modulus) & 0xFFFFFF for k in range(_KP_MAX)], dtype=np.int32)
+    assert len(set(keys.tolist())) == _KP_MAX, "24-bit key collision in k*p table"
+    return digits.astype(np.int32), keys
 
 
 def is_zero(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(canonical(spec, a) == 0, axis=-1)
+    """v == 0 mod p, cheaply: a resident value is < 64p, so it is zero iff
+    its exact digits match one of the 64 precomputed multiples of p.
+    The 24-bit low key selects the unique candidate; one full compare
+    verifies it. No compare-subtract chain needed."""
+    digits_tbl, keys = _kp_tables(spec.modulus)
+    x = exact_digits(spec, a)                         # (..., NLIMBS+1)
+    v24 = x[..., 0] + (x[..., 1] << 8) + (x[..., 2] << 16)
+    hit = v24[..., None] == jnp.asarray(keys)         # (..., 64)
+    k_hat = jnp.argmax(hit, axis=-1)
+    candidate = jnp.asarray(digits_tbl)[k_hat]        # (..., NLIMBS+1)
+    return jnp.any(hit, axis=-1) & jnp.all(x == candidate, axis=-1)
 
 
 def eq(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
