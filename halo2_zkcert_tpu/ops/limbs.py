@@ -145,17 +145,22 @@ def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Requires limbs <= 511 so coefficients stay < 2^24 (f32/int32-exact).
     Formulated as outer-product then constant one-hot matmul: 3 HLO ops
     (vs a 33-step dynamic-update-slice chain, which exploded XLA compile
-    times inside scan/loop bodies) and a natural MXU target. Uses raw
-    dot_general, not einsum — opt_einsum path search at trace time was
-    the dominant cost of building large point-arithmetic graphs.
+    times inside scan/loop bodies). The contraction runs in f32 — exact
+    below 2^24 and MXU-eligible; int32 dot_generals fall off the MXU and
+    were ~5x slower on v5e. Uses raw dot_general, not einsum — opt_einsum
+    path search at trace time dominated graph-build time.
     """
     La, Lb = a.shape[-1], b.shape[-1]
-    t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb))
-    outer = a[..., :, None] * b[..., None, :]
-    return jax.lax.dot_general(
+    t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb),
+                    dtype=jnp.float32)
+    outer = (a[..., :, None] * b[..., None, :]).astype(jnp.float32)
+    out = jax.lax.dot_general(
         outer.reshape(a.shape[:-1] + (La * Lb,)), t,
         dimension_numbers=(((outer.ndim - 2,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # exact f32: default 3-pass
+                                              # bf16 drops bits above 2^16
+    return out.astype(jnp.int32)
 
 
 def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -167,9 +172,11 @@ def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     W = x.shape[-1]
     low, high = x[..., :CANON_LIMBS], x[..., CANON_LIMBS:]
     folded = jax.lax.dot_general(
-        high, spec_fold[: W - CANON_LIMBS],
+        high.astype(jnp.float32),
+        spec_fold[: W - CANON_LIMBS].astype(jnp.float32),
         dimension_numbers=(((high.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     return low + folded
 
 

@@ -127,3 +127,23 @@ def msm(points_affine: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:
     acc = msm_jacobian(points_affine, scalars)
     batched = tuple(c[None] for c in acc)
     return curve.to_affine(batched)[0]
+
+
+@jax.jit
+def msm_many(points_affine: jnp.ndarray, scalars_batch: jnp.ndarray) -> jnp.ndarray:
+    """Batched MSM over one point set: scalars (m, N, W) -> (m, 2, NL) affine.
+
+    Sequential `lax.map` over the batch (each MSM saturates the chip); one
+    fused program so the caller pays a single dispatch/fetch round trip —
+    on the remote-tunnel TPU each fetch costs ~25 ms, so per-column commits
+    (reference: per-column `commit_lagrange` loop [dep]) are batched here.
+    """
+    pts = curve.from_affine(points_affine)
+
+    def one(scalars):
+        digits = scalars_to_digits(scalars)
+        buckets = jax.lax.map(lambda dw: _window_buckets(pts, dw), digits.T)
+        acc = _horner_windows(_suffix_combine(buckets))
+        return curve.to_affine(tuple(c[None] for c in acc))[0]
+
+    return jax.lax.map(one, scalars_batch)
