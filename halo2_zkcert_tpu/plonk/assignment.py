@@ -1,0 +1,149 @@
+"""Concrete circuit data: fixed columns, equality constraints, witness hooks.
+
+In this framework a circuit is compiled (host-side, once) into:
+  * a `ConstraintSystem` (static gates/lookups/permutation metadata),
+  * fixed-column value arrays,
+  * the equality-constraint (copy) list,
+  * a witness program: inputs -> advice arrays (vectorized JAX).
+
+This replaces the reference's trait-object `Circuit::synthesize` machinery
+(halo2_proofs [dep] Cargo.lock:1320) with flat arrays — the TPU-first
+"batch pipeline over flat arrays" design from SURVEY.md §7.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import limbs
+from ..utils import refcrypto as rc
+from .cs import ADVICE, DELTA, FIXED, INSTANCE, Column, ConstraintSystem
+
+
+@dataclass
+class CircuitData:
+    """Static circuit description + fixed assignment (the keygen input)."""
+    cs: ConstraintSystem
+    k: int
+    # (num_fixed, n) object/int64 numpy of field values (host ints; converted
+    # to limbs lazily) — fixed columns are built host-side once at keygen.
+    fixed: np.ndarray
+    # equality constraints: ((kind, col, row), (kind, col, row))
+    copies: list = field(default_factory=list)
+    # per instance column, how many leading rows carry public values
+    num_instance: list = field(default_factory=list)
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    def fixed_limbs(self) -> jnp.ndarray:
+        """(num_fixed, n, NLIMBS) device array of the fixed columns."""
+        cols = [limbs.ints_to_limbs([int(v) % rc.FR for v in col], limbs.NLIMBS)
+                for col in self.fixed]
+        if not cols:
+            return jnp.zeros((0, self.n, limbs.NLIMBS), jnp.int32)
+        return jnp.asarray(np.stack(cols))
+
+
+def permutation_mapping(data: CircuitData) -> np.ndarray:
+    """Build the sigma mapping from the copy list.
+
+    Returns `mapping` of shape (num_perm_columns, n, 2) where
+    mapping[c, r] = (c', r'): the next cell in the cycle containing (c, r)
+    (identity for unconstrained cells).  Cells are identified by their
+    position in cs.permutation_columns.
+
+    Reference behavior: halo2_proofs permutation::keygen::Assembly [dep] —
+    same cycle semantics, different (but equivalent) cycle orientation.
+    """
+    csys = data.cs
+    n = data.n
+    cols = csys.permutation_columns
+    col_pos = {(c.kind, c.index): i for i, c in enumerate(cols)}
+    m = len(cols)
+    # union-find over m*n cells
+    parent = np.arange(m * n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def cell_id(kind: str, col: int, row: int) -> int:
+        pos = col_pos.get((kind, col))
+        if pos is None:
+            raise ValueError(f"column ({kind},{col}) not enabled for permutation")
+        assert 0 <= row < n
+        return pos * n + row
+
+    pairs = [(cell_id(*a), cell_id(*b)) for a, b in data.copies]
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # group members per root, then orient each group as one cycle
+    groups: dict = {}
+    seen = set()
+    for a, b in pairs:
+        for x in (a, b):
+            if x not in seen:
+                seen.add(x)
+                groups.setdefault(find(x), []).append(x)
+    mapping = np.stack(
+        [np.tile(np.arange(m, dtype=np.int64)[:, None], (1, n)).reshape(m, n),
+         np.tile(np.arange(n, dtype=np.int64)[None, :], (m, 1))], axis=-1)
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        for i, x in enumerate(members):
+            y = members[(i + 1) % len(members)]
+            mapping[x // n, x % n] = (y // n, y % n)
+    return mapping
+
+
+def sigma_values(data: CircuitData) -> np.ndarray:
+    """Sigma polynomials as value tables: (m, n) object array of Fr ints.
+
+    sigma_c(row) = delta^{c'} * omega^{row'} where (c', r') = mapping[c, r].
+    """
+    from .domain import Domain
+    mapping = permutation_mapping(data)
+    m, n = mapping.shape[:2]
+    dom = Domain(data.k, data.cs.quotient_degree)
+    omega_pows = np.empty(n, dtype=object)
+    acc = 1
+    for i in range(n):
+        omega_pows[i] = acc
+        acc = acc * dom.omega % rc.FR
+    delta_pows = [pow(DELTA, c, rc.FR) for c in range(m)]
+    out = np.empty((m, n), dtype=object)
+    for c in range(m):
+        cc = mapping[c, :, 0]
+        rr = mapping[c, :, 1]
+        for r in range(n):
+            out[c, r] = delta_pows[cc[r]] * omega_pows[rr[r]] % rc.FR
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic blinding RNG (SURVEY.md §5: reference uses OsRng; we use a
+# seeded stream for cross-host determinism + reproducible debugging)
+# ---------------------------------------------------------------------------
+
+class BlindingRng:
+    def __init__(self, seed: bytes = b"halo2-zkcert-tpu-blinding"):
+        self.seed = seed
+        self.ctr = 0
+
+    def next_fr(self) -> int:
+        d = rc.blake2b(self.seed + self.ctr.to_bytes(8, "little"), 64)
+        self.ctr += 1
+        return rc.fr_from_u512_le(d[:32], d[32:])
+
+    def fill(self, count: int) -> list:
+        return [self.next_fr() for _ in range(count)]

@@ -1,0 +1,111 @@
+"""Verifying/proving key generation.
+
+Reference behavior: halo2_proofs `keygen_vk` / `keygen_pk` (axiom fork [dep]
+Cargo.lock:1320; call stack SURVEY.md §3.1): commit fixed columns and
+permutation sigma polynomials, precompute extended-domain tables.
+
+Hot loops (fixed-column MSMs, extended NTTs) run on device through
+ops.msm / ops.ntt; cycle assembly and vk hashing stay on host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import frops, limbs
+from ..ops.field import Fr
+from ..utils import refcrypto as rc
+from .assignment import CircuitData, sigma_values
+from .cs import ConstraintSystem
+from .domain import Domain
+from .kzg import ParamsKZG
+
+
+@dataclass
+class VerifyingKey:
+    k: int
+    cs: ConstraintSystem
+    fixed_commitments: list          # [(x, y)]
+    permutation_commitments: list    # [(x, y)] sigma commitments
+    num_instance: list
+
+    @property
+    def n(self) -> int:
+        return 1 << self.k
+
+    def domain(self) -> Domain:
+        return Domain(self.k, self.cs.quotient_degree)
+
+    def transcript_repr(self) -> int:
+        """Canonical vk hash absorbed at the start of every transcript
+        (reference: vk.hash_into / blake2b pinned-vk hash [dep])."""
+        h = rc.blake2b(self.digest_bytes(), 64, persona=b"Halo2-Verify-Key")
+        return rc.fr_from_u512_le(h[:32], h[32:])
+
+    def digest_bytes(self) -> bytes:
+        parts = [f"vk:v1;k={self.k};ninst={self.num_instance}".encode(),
+                 self.cs.digest_bytes()]
+        for (x, y) in self.fixed_commitments + self.permutation_commitments:
+            parts.append(rc.fe_to_bytes_le(x) + rc.fe_to_bytes_le(y))
+        return b"|".join(parts)
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    # device arrays
+    fixed_lagrange: jnp.ndarray      # (num_fixed, n, NL)
+    fixed_coeff: jnp.ndarray         # (num_fixed, n, NL)
+    sigma_lagrange: jnp.ndarray      # (m, n, NL)
+    sigma_coeff: jnp.ndarray         # (m, n, NL)
+    # host tables
+    sigma_values: np.ndarray         # (m, n) object ints (for Z building)
+
+    def domain(self) -> Domain:
+        return self.vk.domain()
+
+
+def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
+    assert params.k == data.k, "SRS size must match circuit k"
+    dom = Domain(data.k, data.cs.quotient_degree)
+    n = data.n
+
+    from .kzg import commit_many_lagrange
+    from .prover import _lag2coeff_batch
+
+    fixed_lag = data.fixed_limbs()
+    num_fixed = fixed_lag.shape[0]
+    sig_vals = sigma_values(data)
+    m = sig_vals.shape[0]
+    sigma_lag_list = [Fr.from_ints(list(sig_vals[c])) for c in range(m)]
+    sigma_lag = jnp.stack(sigma_lag_list) if m else \
+        jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)
+
+    # one batched commit + one batched iNTT for all fixed+sigma columns
+    all_lag = jnp.concatenate([fixed_lag, sigma_lag], axis=0)
+    commitments = commit_many_lagrange(params, all_lag) if all_lag.shape[0] \
+        else []
+    fixed_commitments = commitments[:num_fixed]
+    perm_commitments = commitments[num_fixed:]
+    if all_lag.shape[0]:
+        all_coeff = _lag2coeff_batch(all_lag, data.k)
+        fixed_coeff = all_coeff[:num_fixed]
+        sigma_coeff = all_coeff[num_fixed:]
+    else:
+        fixed_coeff = jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)
+        sigma_coeff = jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)
+
+    vk = VerifyingKey(
+        k=data.k, cs=data.cs,
+        fixed_commitments=fixed_commitments,
+        permutation_commitments=perm_commitments,
+        num_instance=list(data.num_instance),
+    )
+    return ProvingKey(
+        vk=vk,
+        fixed_lagrange=fixed_lag, fixed_coeff=fixed_coeff,
+        sigma_lagrange=sigma_lag, sigma_coeff=sigma_coeff,
+        sigma_values=sig_vals,
+    )

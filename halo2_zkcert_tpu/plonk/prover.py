@@ -1,0 +1,661 @@
+"""PLONKish prover: the create_proof pipeline of SURVEY.md §3.2.
+
+Reference behavior: halo2_proofs `create_proof` (axiom fork [dep]
+Cargo.lock:1320): phase advice commits -> lookup permute/commit ->
+permutation & lookup grand products -> vanishing random poly -> quotient on
+the extended coset -> evals at x -> SHPLONK multiopen.
+
+TPU mapping: every O(n) step is a batched device op (MSM commits, NTTs,
+prefix-product scans, pointwise limb algebra); the Fiat-Shamir transcript
+and per-poly scalar glue stay host-side.  The boundary between transcript
+rounds and device programs follows SURVEY.md §3.2's note: each round
+triggers fused device work, then a host squeeze.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import frops, limbs, ntt
+from ..ops.field import Fr
+from ..utils import refcrypto as rc
+from . import expression as ex
+from .assignment import BlindingRng
+from .cs import ADVICE, DELTA, FIXED, INSTANCE
+from .domain import Domain
+from .keygen import ProvingKey
+from .kzg import ParamsKZG, commit_many, commit_many_lagrange
+from .shplonk import ProverQuery, open_shplonk
+
+NL = limbs.NLIMBS
+
+
+def _to_int(arr) -> int:
+    return int(limbs.limbs_to_int(np.asarray(arr)) % rc.FR)
+
+
+def _fr(x: int):
+    return Fr.from_ints([x])[0]
+
+
+def _bcast(x: int, n: int):
+    return jnp.broadcast_to(_fr(x)[None], (n, NL))
+
+
+def instance_lagrange(vals: list, n: int) -> jnp.ndarray:
+    padded = list(vals) + [0] * (n - len(vals))
+    return Fr.from_ints(padded)
+
+
+class _ExtCache:
+    """Lazy Lagrange->coeff->extended conversion cache for leaf columns."""
+
+    def __init__(self, dom: Domain, lagrange_cols: dict):
+        self.dom = dom
+        self.lag = lagrange_cols          # (kind, idx) -> (n, NL) array
+        self.coeff: dict = {}
+        self.ext: dict = {}
+
+    def coeff_of(self, kind, idx):
+        key = (kind, idx)
+        if key not in self.coeff:
+            self.coeff[key] = self.dom.lagrange_to_coeff(self.lag[key])
+        return self.coeff[key]
+
+    def ext_of(self, kind, idx):
+        key = (kind, idx)
+        if key not in self.ext:
+            self.ext[key] = self.dom.coeff_to_extended(self.coeff_of(kind, idx))
+        return self.ext[key]
+
+
+def _ext_rotate(dom: Domain, arr: jnp.ndarray, rot: int) -> jnp.ndarray:
+    return jnp.roll(arr, -rot * (dom.extended_n // dom.n), axis=0)
+
+
+def _lagrange_basis_ext(dom: Domain, rows: list) -> jnp.ndarray:
+    """Extended-coset values of sum_i L_row(X) for the given rows."""
+    lag = np.zeros(dom.n, dtype=np.int64)
+    vals = [0] * dom.n
+    for r in rows:
+        vals[r] = 1
+    arr = Fr.from_ints(vals)
+    return dom.coeff_to_extended(dom.lagrange_to_coeff(arr))
+
+
+def _compress(exprs, theta: int, leaf_eval) -> jnp.ndarray:
+    """theta-fold: acc = acc * theta + value (halo2 lookup compression)."""
+    acc = None
+    for e in exprs:
+        v = leaf_eval(e)
+        if acc is None:
+            acc = v
+        else:
+            acc = frops.add(frops.mul(acc, _bcast(theta, acc.shape[0])), v)
+    return acc
+
+
+def _eval_expr_lagrange(e: ex.Expr, n: int, advice, fixed, instance, challenges):
+    """Evaluate an expression over the original Lagrange domain (device)."""
+    return ex.evaluate(
+        e,
+        constant=lambda v: _bcast(v % rc.FR, n),
+        fixed=lambda i, r: jnp.roll(fixed[i], -r, axis=0),
+        advice=lambda i, r: jnp.roll(advice[i], -r, axis=0),
+        instance=lambda i, r: jnp.roll(instance[i], -r, axis=0),
+        challenge=lambda i: _bcast(challenges[i], n),
+        add=frops.add, mul=frops.mul,
+        scale=lambda a, s: frops.mul(a, _bcast(s % rc.FR, a.shape[0])),
+    )
+
+
+def _permute_lookup(a_vals: list, s_vals: list, usable: int):
+    """halo2 lookup permutation (host): A' = sorted inputs; S' places each
+    first-occurrence of A' at the same row, filling the rest with leftover
+    table rows.  Raises if some input is not in the table."""
+    a_sorted = sorted(a_vals[:usable])
+    from collections import Counter
+    leftover = Counter(s_vals[:usable])
+    s_perm = [None] * usable
+    # first occurrences
+    for i, v in enumerate(a_sorted):
+        if i == 0 or a_sorted[i] != a_sorted[i - 1]:
+            if leftover[v] == 0:
+                raise ValueError(f"lookup failure: value {v} not in table")
+            leftover[v] -= 1
+            s_perm[i] = v
+    fill = iter(sorted(leftover.elements()))
+    for i in range(usable):
+        if s_perm[i] is None:
+            s_perm[i] = next(fill)
+    return a_sorted, s_perm
+
+
+def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
+                 instances: list, transcript, rng: BlindingRng | None = None):
+    """witness: either an (num_advice, n, NL) Lagrange-basis array (single
+    phase) or a callable `witness(phase: int, challenges: dict) -> dict
+    {col_index: (n, NL) array}` producing that phase's advice columns
+    (halo2 multi-phase create_proof semantics [dep]);
+    instances: list (per instance column) of lists of Fr ints."""
+    import os as _os
+    import time as _time
+    _prof = bool(_os.environ.get("H2T_PROFILE"))
+    _t0 = _time.perf_counter()
+
+    def _tick(stage):
+        nonlocal _t0
+        if _prof:
+            t = _time.perf_counter()
+            print(f"  [prove] {stage}: {t - _t0:.3f}s", flush=True)
+            _t0 = t
+
+    rng = rng or BlindingRng()
+    vk = pk.vk
+    csys = vk.cs
+    dom = pk.domain()
+    n, ext_n = dom.n, dom.extended_n
+    bf = csys.blinding_factors()
+    u_row = n - bf - 1            # l_last row / last active row
+
+    # -- 0: vk & instances into transcript ------------------------------------
+    transcript.common_scalar(vk.transcript_repr())
+    for col in instances:
+        for v in col:
+            transcript.common_scalar(v)
+
+    inst_lag = [instance_lagrange(col, n) for col in instances]
+
+    # -- 1: per-phase: blind & commit advice, squeeze phase challenges ---------
+    if callable(witness):
+        witness_fn = witness
+    else:
+        witness_fn = lambda phase, ch: (
+            {i: witness[i] for i in range(csys.num_advice)} if phase == 0 else {})
+    advice_cols: list = [None] * csys.num_advice
+    challenges: dict = {}
+    for phase in range(csys.num_phases):
+        phase_cols = witness_fn(phase, dict(challenges))
+        expected = [i for i in range(csys.num_advice)
+                    if csys.advice_phases[i] == phase]
+        assert sorted(phase_cols.keys()) == expected, \
+            f"phase {phase}: witness must supply columns {expected}"
+        batch = []
+        for i in expected:
+            col = phase_cols[i]
+            blinds = Fr.from_ints(rng.fill(bf + 1))
+            col = col.at[u_row:].set(blinds)
+            advice_cols[i] = col
+            batch.append(col)
+        for pt in commit_many_lagrange(params, batch):
+            transcript.write_point(pt)
+        for ci, cp in enumerate(csys.challenge_phases):
+            if cp == phase:
+                challenges[ci] = transcript.squeeze_challenge()
+
+    _tick("phase commits")
+    theta = transcript.squeeze_challenge()
+
+    # -- 2: lookups: compress, permute, commit ---------------------------------
+    leaf = lambda e: _eval_expr_lagrange(e, n, advice_cols, pk.fixed_lagrange,
+                                         inst_lag, challenges)
+    lookups = []
+    lk_batch = []
+    for lk in csys.lookups:
+        a_comp = _compress([p[0] for p in lk.pairs], theta, leaf)
+        s_comp = _compress([p[1] for p in lk.pairs], theta, leaf)
+        # device-side permutation: sorting/matching never leaves the chip
+        # (fetching the columns costs ~0.7 s/17MB over the remote tunnel)
+        a_arr, s_arr, ok = frops.lookup_permute_device(a_comp, s_comp, u_row)
+        if not bool(ok):
+            raise ValueError(f"lookup '{lk.name}' failure: input not in table")
+        a_arr = a_arr.at[u_row:].set(Fr.from_ints(rng.fill(bf + 1)))
+        s_arr = s_arr.at[u_row:].set(Fr.from_ints(rng.fill(bf + 1)))
+        lk_batch += [a_arr, s_arr]
+        lookups.append(dict(a=a_comp, s=s_comp, a_perm=a_arr, s_perm=s_arr))
+    for pt in commit_many_lagrange(params, lk_batch):
+        transcript.write_point(pt)
+
+    _tick("lookup permute+commit")
+    beta = transcript.squeeze_challenge()
+    gamma = transcript.squeeze_challenge()
+
+    # -- 3: permutation grand products ------------------------------------------
+    perm_cols = csys.permutation_columns
+    chunk_len = csys.permutation_chunk_len()
+    chunks = [perm_cols[i:i + chunk_len] for i in range(0, len(perm_cols), chunk_len)]
+
+    def col_lagrange(col):
+        return {FIXED: pk.fixed_lagrange, ADVICE: advice_cols,
+                INSTANCE: inst_lag}[col.kind][col.index]
+
+    omega_pows = frops.powers(_fr(dom.omega), n)
+    perm_zs = []
+    start = _fr(1)                 # device scalar — chunk chaining, no fetch
+    beta_l, gamma_l = _bcast(beta, n), _bcast(gamma, n)
+    for ci, chunk in enumerate(chunks):
+        num = None
+        den = None
+        for pos_in_chunk, col in enumerate(chunk):
+            gpos = ci * chunk_len + pos_in_chunk
+            v = col_lagrange(col)
+            ident = frops.mul(omega_pows,
+                              _bcast(beta * pow(DELTA, gpos, rc.FR) % rc.FR, n))
+            t_num = frops.add(frops.add(v, ident), gamma_l)
+            sig = pk.sigma_lagrange[gpos]
+            t_den = frops.add(frops.add(v, frops.mul(sig, beta_l)), gamma_l)
+            num = t_num if num is None else frops.mul(num, t_num)
+            den = t_den if den is None else frops.mul(den, t_den)
+        ratio = frops.mul(num, frops.batch_inv(den))
+        # Z[0] = start; Z[i] = start * prod_{j<i} ratio[j]
+        shifted = jnp.concatenate([start[None], ratio[:-1]], axis=0)
+        z = frops.prefix_product(shifted)
+        start = z[u_row]
+        z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
+        perm_zs.append(z)
+
+    # -- 4: lookup grand products ------------------------------------------------
+    z_batch = list(perm_zs)
+    for lkd in lookups:
+        t_num = frops.mul(frops.add(lkd["a"], beta_l), frops.add(lkd["s"], gamma_l))
+        t_den = frops.mul(frops.add(lkd["a_perm"], beta_l),
+                          frops.add(lkd["s_perm"], gamma_l))
+        ratio = frops.mul(t_num, frops.batch_inv(t_den))
+        shifted = jnp.concatenate([_fr(1)[None], ratio[:-1]], axis=0)
+        z = frops.prefix_product(shifted)
+        z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
+        z_batch.append(z)
+        lkd["z"] = z
+    # one batched commit + fetch for all grand-product columns
+    for pt in commit_many_lagrange(params, z_batch):
+        transcript.write_point(pt)
+
+    # -- 5: vanishing random poly -------------------------------------------------
+    random_poly = Fr.from_ints(rng.fill(n))      # coefficient basis
+    transcript.write_point(params.commit(random_poly))
+
+    _tick("grand products+random")
+    y = transcript.squeeze_challenge()
+
+    # -- 6: quotient — ONE fused device program per circuit (cached on pk).
+    # The expression forest is traced once into a single XLA program; at k=17
+    # the eager path issued thousands of small dispatches (compile+latency
+    # dominated on the remote tunnel / 1-core host).
+    qfn = _quotient_fn(pk)
+    chal_list = [theta, beta, gamma, y] + [challenges[i]
+                                           for i in range(csys.num_challenges)]
+    chal = jnp.stack([_fr(c) for c in chal_list])
+
+    def stack_or_empty(arrs, m=n):
+        if arrs:
+            return jnp.stack(list(arrs))
+        return jnp.zeros((0, m, NL), jnp.int32)
+
+    adv_stack = stack_or_empty(advice_cols)
+    inst_stack = stack_or_empty(inst_lag)
+    permz_stack = stack_or_empty(perm_zs)
+    lkz_stack = stack_or_empty([d["z"] for d in lookups])
+    lka_stack = stack_or_empty([d["a_perm"] for d in lookups])
+    lks_stack = stack_or_empty([d["s_perm"] for d in lookups])
+    (h_pieces_stack, adv_coeff, permz_coeff,
+     lkz_coeff, lka_coeff, lks_coeff) = qfn(
+        adv_stack, inst_stack, permz_stack, lkz_stack, lka_stack, lks_stack,
+        chal)
+    num_pieces = csys.quotient_degree
+    h_pieces = [h_pieces_stack[i] for i in range(num_pieces)]
+    for pt in commit_many(params, h_pieces_stack):
+        transcript.write_point(pt)
+
+    _tick("quotient+commit")
+    x = transcript.squeeze_challenge()
+    xn = pow(x, n, rc.FR)
+
+    # collapsed h for the multiopen: sum_i x^{n i} h_i
+    h_collapsed = None
+    xni = 1
+    for piece in h_pieces:
+        term = frops.mul(piece, _bcast(xni, n))
+        h_collapsed = term if h_collapsed is None else frops.add(h_collapsed, term)
+        xni = xni * xn % rc.FR
+    # random poly is already coeff form
+
+    # -- 7: evaluations ------------------------------------------------------------
+    coeffs = {}
+
+    def coeff_of(name):
+        if name in coeffs:
+            return coeffs[name]
+        raise KeyError(name)
+
+    for i in range(csys.num_advice):
+        coeffs[f"advice{i}"] = adv_coeff[i]
+    for i in range(csys.num_fixed):
+        coeffs[f"fixed{i}"] = pk.fixed_coeff[i]
+    for c in range(len(chunks)):
+        coeffs[f"perm_z{c}"] = permz_coeff[c]
+    for gpos in range(pk.sigma_coeff.shape[0]):
+        coeffs[f"sigma{gpos}"] = pk.sigma_coeff[gpos]
+    for li in range(len(lookups)):
+        coeffs[f"lookup{li}_z"] = lkz_coeff[li]
+        coeffs[f"lookup{li}_a"] = lka_coeff[li]
+        coeffs[f"lookup{li}_s"] = lks_coeff[li]
+    coeffs["random"] = random_poly
+    coeffs["h"] = h_collapsed
+
+    x_next = dom.rotate_omega(x, 1)
+    x_prev = dom.rotate_omega(x, -1)
+    x_last = dom.rotate_omega(x, u_row)   # omega^u x (== rotation -(bf+1))
+
+    # batch every (poly, point) evaluation into ONE device program + fetch
+    pairs: list = []
+    seen: set = set()
+
+    def need(name, point):
+        if (name, point) not in seen:
+            seen.add((name, point))
+            pairs.append((name, point))
+
+    for (i, r) in csys.advice_queries:
+        need(f"advice{i}", dom.rotate_omega(x, r))
+    for (i, r) in csys.fixed_queries:
+        need(f"fixed{i}", dom.rotate_omega(x, r))
+    need("random", x)
+    for gpos in range(pk.sigma_coeff.shape[0]):
+        need(f"sigma{gpos}", x)
+    for c in range(len(chunks)):
+        need(f"perm_z{c}", x)
+        need(f"perm_z{c}", x_next)
+        if c != len(chunks) - 1:
+            need(f"perm_z{c}", x_last)
+    for li in range(len(lookups)):
+        need(f"lookup{li}_z", x)
+        need(f"lookup{li}_z", x_next)
+        need(f"lookup{li}_a", x)
+        need(f"lookup{li}_a", x_prev)
+        need(f"lookup{li}_s", x)
+    need("h", x)
+
+    polys_stack = jnp.stack([coeffs[nm] for nm, _ in pairs])
+    xs_stack = jnp.stack([_fr(pt) for _, pt in pairs])
+    res = np.asarray(frops.poly_eval_many(polys_stack, xs_stack))
+    evals = {pair: int(limbs.limbs_to_int(res[i]) % rc.FR)
+             for i, pair in enumerate(pairs)}
+
+    def ev(name, point: int) -> int:
+        return evals[(name, point)]
+
+    # canonical eval write order (documented in verifier.py to match)
+    for (i, r) in csys.advice_queries:
+        transcript.write_scalar(ev(f"advice{i}", dom.rotate_omega(x, r)))
+    for (i, r) in csys.fixed_queries:
+        transcript.write_scalar(ev(f"fixed{i}", dom.rotate_omega(x, r)))
+    transcript.write_scalar(ev("random", x))
+    for gpos in range(pk.sigma_coeff.shape[0]):
+        transcript.write_scalar(ev(f"sigma{gpos}", x))
+    for c in range(len(chunks)):
+        transcript.write_scalar(ev(f"perm_z{c}", x))
+        transcript.write_scalar(ev(f"perm_z{c}", x_next))
+    for c in range(len(chunks) - 1):
+        transcript.write_scalar(ev(f"perm_z{c}", x_last))
+    for li in range(len(lookups)):
+        transcript.write_scalar(ev(f"lookup{li}_z", x))
+        transcript.write_scalar(ev(f"lookup{li}_z", x_next))
+        transcript.write_scalar(ev(f"lookup{li}_a", x))
+        transcript.write_scalar(ev(f"lookup{li}_a", x_prev))
+        transcript.write_scalar(ev(f"lookup{li}_s", x))
+
+    _tick("evals")
+    # -- 8: multiopen -----------------------------------------------------------------
+    queries = []
+
+    def q(name, point):
+        queries.append(ProverQuery(poly=coeffs[name], point=point,
+                                   eval=ev(name, point), name=name))
+
+    for (i, r) in csys.advice_queries:
+        q(f"advice{i}", dom.rotate_omega(x, r))
+    for c in range(len(chunks)):
+        q(f"perm_z{c}", x)
+        q(f"perm_z{c}", x_next)
+        if c != len(chunks) - 1:
+            q(f"perm_z{c}", x_last)
+    for li in range(len(lookups)):
+        q(f"lookup{li}_z", x)
+        q(f"lookup{li}_z", x_next)
+        q(f"lookup{li}_a", x)
+        q(f"lookup{li}_a", x_prev)
+        q(f"lookup{li}_s", x)
+    for (i, r) in csys.fixed_queries:
+        q(f"fixed{i}", dom.rotate_omega(x, r))
+    for gpos in range(pk.sigma_coeff.shape[0]):
+        q(f"sigma{gpos}", x)
+    q("random", x)
+    q("h", x)
+
+    open_shplonk(params, queries, transcript)
+    _tick("multiopen")
+    return transcript.finalize()
+
+
+# ---------------------------------------------------------------------------
+# quotient pipeline: batched NTT conversions + ONE fused pointwise program
+# ---------------------------------------------------------------------------
+#
+# Design note (perf): inlining the NTTs into one mega-program made XLA
+# compile times explode (each of ~35 column conversions re-inlined a k-stage
+# butterfly network).  Instead the conversions are 3 batched NTT dispatches
+# (columns vectorized on axis 1 — one compiled NTT per shape serves every
+# column), and only the gate/argument *pointwise* forest is fused.
+
+import jax
+
+
+@partial(jax.jit, static_argnums=1)
+def _lag2coeff_batch(cols: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(C, n, NL) Lagrange columns -> monomial coeffs, one batched iNTT."""
+    return ntt.intt(jnp.moveaxis(cols, 0, 1), k).swapaxes(0, 1)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
+    """(C, n, NL) coeffs -> (C, ext_n, NL) coset values, one batched NTT."""
+    C, n, _ = cols.shape
+    ext_n = 1 << ext_k
+    from ..ops.field import FR as FRS
+    x = jnp.moveaxis(cols, 0, 1)                       # (n, C, NL)
+    x = jnp.pad(x, ((0, ext_n - n), (0, 0), (0, 0)))
+    gpw = frops.powers(Fr.from_ints([g])[0], ext_n)    # (ext_n, NL)
+    x = limbs.mul(FRS, x, gpw[:, None, :])
+    return jnp.moveaxis(ntt.ntt(x, ext_k), 1, 0)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _ext2coeff_pieces(values: jnp.ndarray, ext_k: int, g_inv: int,
+                      piece_shape: tuple) -> jnp.ndarray:
+    """(ext_n, NL) coset values -> (qd, n, NL) quotient pieces."""
+    from ..ops.field import FR as FRS
+    qd, n = piece_shape
+    hc = ntt.intt(values, ext_k)
+    gpi = frops.powers(Fr.from_ints([g_inv])[0], 1 << ext_k)
+    h_coeffs = limbs.mul(FRS, hc, gpi)
+    return jnp.stack([h_coeffs[i * n:(i + 1) * n] for i in range(qd)])
+
+
+def _quotient_fn(pk: ProvingKey):
+    """Returns `run(advice_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal)
+    -> (h_pieces, adv_coeff, permz_coeff, lkz_coeff, lka_coeff, lks_coeff)`.
+
+    Internally: 2 batched NTT programs for the conversions + one fused
+    jitted pointwise program for the whole constraint forest.
+    """
+    cached = pk.__dict__.get("_quotient_prog")
+    if cached is not None:
+        return cached
+
+    from ..ops.field import FR as FRS
+
+    csys = pk.vk.cs
+    dom = pk.domain()
+    n, ext_n = dom.n, dom.extended_n
+    bf = csys.blinding_factors()
+    u_row = n - bf - 1
+    chunk_len = csys.permutation_chunk_len()
+    perm_cols = csys.permutation_columns
+    chunks = [perm_cols[i:i + chunk_len]
+              for i in range(0, len(perm_cols), chunk_len)]
+    num_lk = len(csys.lookups)
+    qd = csys.quotient_degree
+    stride = ext_n // n
+
+    def lc(v: int):
+        return jnp.asarray(limbs.int_to_limbs(v % rc.FR, NL))
+
+    # ---- one-time per-pk precomputations (device arrays) ----
+    fixed_ext = _coeff2ext_batch(pk.fixed_coeff, dom.extended_k, dom.G_COSET) \
+        if pk.fixed_coeff.shape[0] else jnp.zeros((0, ext_n, NL), jnp.int32)
+    sigma_ext = _coeff2ext_batch(pk.sigma_coeff, dom.extended_k, dom.G_COSET) \
+        if pk.sigma_coeff.shape[0] else jnp.zeros((0, ext_n, NL), jnp.int32)
+    basis = np.zeros((3, n, NL), np.int32)
+    basis[0, 0, 0] = 1
+    basis[1, u_row, 0] = 1
+    basis[2, u_row + 1:, 0] = 1
+    basis_ext = _coeff2ext_batch(
+        _lag2coeff_batch(jnp.asarray(basis), dom.k), dom.extended_k,
+        dom.G_COSET)
+    l0_ext_c, llast_ext_c, lblind_ext_c = (basis_ext[i] for i in range(3))
+    ident_ext_c = frops.mul(
+        frops.powers(lc(dom.extended_omega), ext_n),
+        jnp.broadcast_to(lc(dom.G_COSET)[None], (ext_n, NL)))
+    zh_inv = jnp.asarray(dom.zh_inv_extended)
+
+    def pointwise(col_ext, permz_ext, lkz_ext, lka_ext, lks_ext, chal,
+                  fixed_ext, sigma_ext, l0_ext, llast_ext, lblind_ext,
+                  ident_ext, zh_inv):
+        """col_ext: (na+ni, ext_n, NL) — advice then instance columns."""
+        def bc(v):
+            return jnp.broadcast_to(v[None], (ext_n, NL))
+
+        theta_e, beta_e, gamma_e, y_e = (bc(chal[i]) for i in range(4))
+        fadd = lambda a, b: limbs.add(FRS, a, b)
+        fsub = lambda a, b: limbs.sub(FRS, a, b)
+        fmul = lambda a, b: limbs.mul(FRS, a, b)
+
+        def rot(arr, r):
+            return jnp.roll(arr, -r * stride, axis=0)
+
+        na = csys.num_advice
+
+        def ext_leaf(e):
+            return ex.evaluate(
+                e,
+                constant=lambda v: bc(lc(v)),
+                fixed=lambda i, r: rot(fixed_ext[i], r),
+                advice=lambda i, r: rot(col_ext[i], r),
+                instance=lambda i, r: rot(col_ext[na + i], r),
+                challenge=lambda i: bc(chal[4 + i]),
+                add=fadd, mul=fmul,
+                scale=lambda a, s: fmul(a, bc(lc(s))),
+            )
+
+        one_ext = bc(lc(1))
+        active_ext = fsub(one_ext, fadd(llast_ext, lblind_ext))
+
+        h = None
+
+        def acc(term):
+            nonlocal h
+            h = term if h is None else fadd(fmul(h, y_e), term)
+
+        for _, g in csys.gates:
+            acc(ext_leaf(g))
+
+        if chunks:
+            acc(fmul(l0_ext, fsub(one_ext, permz_ext[0])))
+            acc(fmul(llast_ext,
+                     fsub(fmul(permz_ext[-1], permz_ext[-1]), permz_ext[-1])))
+            for c in range(1, len(chunks)):
+                acc(fmul(l0_ext,
+                         fsub(permz_ext[c], rot(permz_ext[c - 1], u_row))))
+            for ci, chunk in enumerate(chunks):
+                left = rot(permz_ext[ci], 1)
+                right = permz_ext[ci]
+                for pos_in_chunk, col in enumerate(chunk):
+                    gpos = ci * chunk_len + pos_in_chunk
+                    if col.kind == ADVICE:
+                        v = col_ext[col.index]
+                    elif col.kind == INSTANCE:
+                        v = col_ext[na + col.index]
+                    else:
+                        v = fixed_ext[col.index]
+                    left = fmul(left, fadd(fadd(
+                        v, fmul(sigma_ext[gpos], beta_e)), gamma_e))
+                    right = fmul(right, fadd(fadd(
+                        v, fmul(ident_ext,
+                                fmul(beta_e, bc(lc(pow(DELTA, gpos, rc.FR)))))),
+                        gamma_e))
+                acc(fmul(active_ext, fsub(left, right)))
+
+        for li, lk in enumerate(csys.lookups):
+            z_ext, a_ext, s_ext = lkz_ext[li], lka_ext[li], lks_ext[li]
+            a_comp = None
+            for p_in, _ in lk.pairs:
+                v = ext_leaf(p_in)
+                a_comp = v if a_comp is None else fadd(fmul(a_comp, theta_e), v)
+            s_comp = None
+            for _, p_tab in lk.pairs:
+                v = ext_leaf(p_tab)
+                s_comp = v if s_comp is None else fadd(fmul(s_comp, theta_e), v)
+            acc(fmul(l0_ext, fsub(one_ext, z_ext)))
+            acc(fmul(llast_ext, fsub(fmul(z_ext, z_ext), z_ext)))
+            lhs = fmul(fmul(rot(z_ext, 1), fadd(a_ext, beta_e)),
+                       fadd(s_ext, gamma_e))
+            rhs = fmul(fmul(z_ext, fadd(a_comp, beta_e)),
+                       fadd(s_comp, gamma_e))
+            acc(fmul(active_ext, fsub(lhs, rhs)))
+            acc(fmul(l0_ext, fsub(a_ext, s_ext)))
+            acc(fmul(fmul(active_ext, fsub(a_ext, s_ext)),
+                     fsub(a_ext, rot(a_ext, -1))))
+
+        return fmul(h, zh_inv)
+
+    pointwise_jit = jax.jit(pointwise)
+
+    def run(adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal):
+        def stack_or_zero(x, m=n):
+            return x if x.shape[0] else jnp.zeros((0, m, NL), jnp.int32)
+
+        # batched conversions (3 NTT dispatches for everything fresh)
+        lag_all = jnp.concatenate([adv_lag, inst_lag, permz_lag,
+                                   lk_z, lk_a, lk_s], axis=0)
+        coeff_all = _lag2coeff_batch(lag_all, dom.k)
+        ext_all = _coeff2ext_batch(coeff_all, dom.extended_k, dom.G_COSET)
+        na, ni = adv_lag.shape[0], inst_lag.shape[0]
+        nz, nl_ = permz_lag.shape[0], lk_z.shape[0]
+        o = 0
+        adv_coeff = coeff_all[o:o + na]; o += na
+        inst_coeff = coeff_all[o:o + ni]; o += ni
+        permz_coeff = coeff_all[o:o + nz]; o += nz
+        lkz_coeff = coeff_all[o:o + nl_]; o += nl_
+        lka_coeff = coeff_all[o:o + nl_]; o += nl_
+        lks_coeff = coeff_all[o:o + nl_]
+        o = 0
+        col_ext = ext_all[:na + ni]; o = na + ni
+        permz_ext = ext_all[o:o + nz]; o += nz
+        lkz_ext = ext_all[o:o + nl_]; o += nl_
+        lka_ext = ext_all[o:o + nl_]; o += nl_
+        lks_ext = ext_all[o:o + nl_]
+
+        h_values = pointwise_jit(col_ext, permz_ext, lkz_ext, lka_ext,
+                                 lks_ext, chal, fixed_ext, sigma_ext,
+                                 l0_ext_c, llast_ext_c, lblind_ext_c,
+                                 ident_ext_c, zh_inv)
+        h_pieces = _ext2coeff_pieces(h_values, dom.extended_k,
+                                     dom.g_coset_inv, (qd, n))
+        return (h_pieces, adv_coeff, permz_coeff,
+                lkz_coeff, lka_coeff, lks_coeff)
+
+    pk.__dict__["_quotient_prog"] = run
+    return run

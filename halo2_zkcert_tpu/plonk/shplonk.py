@@ -1,0 +1,266 @@
+"""SHPLONK (BDFG21) batched multi-point opening.
+
+Reference behavior: halo2_proofs `poly/kzg/multiopen/shplonk` (axiom fork
+[dep] Cargo.lock:1320; SURVEY.md §3.2 final stage).  Protocol:
+
+  prover                                   transcript
+  ------                                   ----------
+  (evals already written)                  y  = squeeze   (combine within set)
+  h_i = Σ_j y^j (p_ij - r_ij) / Z_{S_i}    v  = squeeze   (combine across sets)
+  H   = Σ_i v^i h_i                        write [H]
+                                           u  = squeeze
+  L   = Z⁻¹_{T∖S_0}(u)·[ Σ_i v^i Z_{T∖S_i}(u)(P_i - R_i(u)) − Z_T(u)·H ]
+  W'  = L / (X − u)                        write [W']
+
+  verify: e([W'], [s]₂) · e(−u[W'] − [L], [1]₂) == 1
+
+Rotation sets S_i group polynomials by the exact set of points they are
+opened at; r_ij / R_i are the degree-<|S_i>| interpolations of the claimed
+evals.  Polynomial arithmetic (combination, divisions) runs on device; the
+per-set scalar math (interpolation, vanishing evals) is host ints.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..ops import frops, limbs
+from ..ops.field import Fr
+from ..utils import refcrypto as rc
+
+NL = limbs.NLIMBS
+
+
+@dataclass
+class ProverQuery:
+    poly: jnp.ndarray     # (n, NL) coefficient array (monomial basis)
+    point: int            # opening point (Fr int)
+    eval: int             # claimed evaluation (Fr int) — must equal poly(point)
+    name: str = ""        # stable identity: queries of the same poly share it
+
+
+@dataclass
+class VerifierQuery:
+    commitment: tuple     # (x, y) affine G1, or ("scaled", [(comm, scalar)...])
+    point: int
+    eval: int
+    name: str = ""
+
+
+def _group_rotation_sets(queries):
+    """Group queries by polynomial, then polys by their point-set.
+
+    Returns an ordered list of sets: each = (points_tuple, [poly entries]),
+    where each poly entry is (name, per-point data dict point->query).
+    Ordering: by first appearance in the query list (both sets and polys) —
+    the canonical order both sides derive independently.
+    """
+    by_poly: dict = {}
+    poly_order: list = []
+    for q in queries:
+        key = q.name
+        if key not in by_poly:
+            by_poly[key] = {}
+            poly_order.append(key)
+        assert q.point not in by_poly[key], f"duplicate query {key}@{q.point}"
+        by_poly[key][q.point] = q
+    sets: dict = {}
+    set_order: list = []
+    for key in poly_order:
+        pts = tuple(sorted(by_poly[key].keys()))
+        if pts not in sets:
+            sets[pts] = []
+            set_order.append(pts)
+        sets[pts].append((key, by_poly[key]))
+    return [(pts, sets[pts]) for pts in set_order]
+
+
+def _lagrange_interpolate(points, evals):
+    """Coefficients of the unique degree-<len poly through (points, evals)."""
+    m = len(points)
+    coeffs = [0] * m
+    for i in range(m):
+        # basis poly prod_{j!=i} (X - x_j) / (x_i - x_j)
+        denom = 1
+        basis = [1]
+        for j in range(m):
+            if j == i:
+                continue
+            denom = denom * (points[i] - points[j]) % rc.FR
+            new = [0] * (len(basis) + 1)
+            for d, c in enumerate(basis):
+                new[d + 1] = (new[d + 1] + c) % rc.FR
+                new[d] = (new[d] - c * points[j]) % rc.FR
+            basis = new
+        scale = evals[i] * rc.finv(denom, rc.FR) % rc.FR
+        for d, c in enumerate(basis):
+            coeffs[d] = (coeffs[d] + c * scale) % rc.FR
+    return coeffs
+
+
+def _eval_poly_host(coeffs, x):
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % rc.FR
+    return acc
+
+
+def _vanishing_eval(points, u):
+    acc = 1
+    for p in points:
+        acc = acc * ((u - p) % rc.FR) % rc.FR
+    return acc
+
+
+def _axpy(acc, poly, scalar: int):
+    """acc + scalar*poly on device coefficient arrays (auto length-match)."""
+    s = jnp.broadcast_to(Fr.from_ints([scalar])[0][None], poly.shape)
+    term = frops.mul(poly, s)
+    if acc is None:
+        return term
+    if acc.shape[0] < term.shape[0]:
+        acc = jnp.pad(acc, ((0, term.shape[0] - acc.shape[0]), (0, 0)))
+    elif term.shape[0] < acc.shape[0]:
+        term = jnp.pad(term, ((0, acc.shape[0] - term.shape[0]), (0, 0)))
+    return frops.add(acc, term)
+
+
+def open_shplonk(params, queries, transcript):
+    """Prover side: runs the y/v/H/u/W' protocol on `transcript`."""
+    rsets = _group_rotation_sets(queries)
+    super_points = []
+    for pts, _ in rsets:
+        for p in pts:
+            if p not in super_points:
+                super_points.append(p)
+
+    y = transcript.squeeze_challenge()
+
+    # Per set: P_i = sum_j y^j p_ij ; R_i = interp(points, combined evals)
+    combined = []
+    for pts, polys in rsets:
+        P = None
+        yk = 1
+        evs = [0] * len(pts)
+        for name, qmap in polys:
+            P = _axpy(P, qmap[pts[0]].poly, yk)
+            for t, p in enumerate(pts):
+                evs[t] = (evs[t] + yk * qmap[p].eval) % rc.FR
+            yk = yk * y % rc.FR
+        R = _lagrange_interpolate(list(pts), evs)
+        combined.append((pts, P, R))
+
+    # h_i = (P_i - R_i) / prod (X - z)
+    v = transcript.squeeze_challenge()
+    H = None
+    vk_pow = 1
+    for pts, P, R in combined:
+        num = P
+        r_arr = Fr.from_ints(R + [0] * 0)
+        num = num.at[: len(R)].set(frops.sub(num[: len(R)], r_arr))
+        h = num
+        for z in pts:
+            h = frops.poly_divide_linear(h, Fr.from_ints([z])[0])
+        H = _axpy(H, h, vk_pow)
+        vk_pow = vk_pow * v % rc.FR
+    h_commit = params.commit(H)
+    transcript.write_point(h_commit)
+
+    u = transcript.squeeze_challenge()
+
+    zt_eval = _vanishing_eval(super_points, u)
+    L = None
+    vk_pow = 1
+    z_diff_0 = None
+    for pts, P, R in combined:
+        diff_pts = [p for p in super_points if p not in pts]
+        z_i = _vanishing_eval(diff_pts, u)
+        if z_diff_0 is None:
+            z_diff_0 = z_i
+        r_u = _eval_poly_host(R, u)
+        term = P.at[0].set(frops.sub(P[0], Fr.from_ints([r_u])[0]))
+        L = _axpy(L, term, vk_pow * z_i % rc.FR)
+        vk_pow = vk_pow * v % rc.FR
+    L = _axpy(L, H, (-zt_eval) % rc.FR)
+    L = _scale(L, rc.finv(z_diff_0, rc.FR))
+    W = frops.poly_divide_linear(L, Fr.from_ints([u])[0])
+    w_commit = params.commit(W)
+    transcript.write_point(w_commit)
+
+
+def _scale(poly, scalar: int):
+    s = jnp.broadcast_to(Fr.from_ints([scalar])[0][None], poly.shape)
+    return frops.mul(poly, s)
+
+
+def verify_shplonk(params, queries, transcript) -> bool:
+    """Verifier side: reads [H], [W'], does the pairing check (host)."""
+    rsets = _group_rotation_sets(queries)
+    super_points = []
+    for pts, _ in rsets:
+        for p in pts:
+            if p not in super_points:
+                super_points.append(p)
+
+    y = transcript.squeeze_challenge()
+    # combined commitments [P_i] and eval interpolations
+    combined = []
+    for pts, polys in rsets:
+        P = rc.G1_IDENTITY
+        yk = 1
+        evs = [0] * len(pts)
+        for name, qmap in polys:
+            P = rc.g1_add(P, _commitment_mul(qmap[pts[0]].commitment, yk))
+            for t, p in enumerate(pts):
+                evs[t] = (evs[t] + yk * qmap[p].eval) % rc.FR
+            yk = yk * y % rc.FR
+        R = _lagrange_interpolate(list(pts), evs)
+        combined.append((pts, P, R))
+
+    v = transcript.squeeze_challenge()
+    h_commit = transcript.read_point()
+    u = transcript.squeeze_challenge()
+
+    zt_eval = _vanishing_eval(super_points, u)
+    L = rc.G1_IDENTITY
+    const_acc = 0      # accumulated scalar multiplied by G (from R_i(u) terms)
+    vk_pow = 1
+    z_diff_0 = None
+    for pts, P, R in combined:
+        diff_pts = [p for p in super_points if p not in pts]
+        z_i = _vanishing_eval(diff_pts, u)
+        if z_diff_0 is None:
+            z_diff_0 = z_i
+        r_u = _eval_poly_host(R, u)
+        w = vk_pow * z_i % rc.FR
+        L = rc.g1_add(L, rc.g1_mul(P, w))   # P is Jacobian
+        const_acc = (const_acc + w * r_u) % rc.FR
+        vk_pow = vk_pow * v % rc.FR
+    # subtract const_acc * G and zt_eval * H
+    L = rc.g1_add(L, rc.g1_mul(rc.g1_from_affine(rc.G1_GEN), (-const_acc) % rc.FR))
+    L = rc.g1_add(L, rc.g1_mul(rc.g1_from_affine(h_commit), (-zt_eval) % rc.FR))
+    L = rc.g1_mul(L, rc.finv(z_diff_0, rc.FR))
+
+    w_commit = transcript.read_point()
+    # e([W'], [s]2) * e(-u[W'] - [L], [1]2) == 1
+    lhs = rc.g1_to_affine(
+        rc.g1_add(rc.g1_mul(rc.g1_from_affine(w_commit), u), L))
+    return rc.pairing_check([
+        (w_commit, params.s_g2),
+        (rc.g1_to_affine(rc.g1_neg(rc.g1_from_affine(lhs))), params.g2),
+    ])
+
+
+def _commitment_mul(commitment, scalar: int):
+    """Affine commitment (or lazy scaled-sum form) times scalar -> Jacobian."""
+    if isinstance(commitment, tuple) and len(commitment) == 2 \
+            and isinstance(commitment[0], int):
+        return rc.g1_mul(rc.g1_from_affine(commitment), scalar)
+    # lazy form: ("msm", [(affine_pt, coeff), ...])
+    tag, terms = commitment
+    assert tag == "msm"
+    acc = rc.G1_IDENTITY
+    for pt, c in terms:
+        acc = rc.g1_add(acc, rc.g1_mul(rc.g1_from_affine(pt), c * scalar % rc.FR))
+    return acc
