@@ -1,0 +1,162 @@
+"""Command-line interface — parity with the reference's 11 subcommands
+(`/root/reference/src/bin/cli.rs:31-212`).
+
+Defaults mirror the reference where meaningful (build dir ./build, params
+dir ./params via $PARAMS_DIR, cert paths ./certs/cert_{i}.pem).  The
+`*-unoptimized-sha256` commands currently route to the same TPU-native
+SHA-256 circuit as the zkevm flavor (one arithmetization serves both roles;
+the gate-level variant is tracked as a round-2 item).
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+
+def _add_common(p, k_default: int):
+    p.add_argument("--k", type=int, default=k_default)
+    p.add_argument("--build-dir", default="./build")
+    p.add_argument("--params-path", default=os.environ.get("PARAMS_DIR", "./params"))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="halo2-zkcert-tpu",
+        description="TPU-native zk proving for X.509 certificate chains")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("download-tls-certs",
+                       help="fetch a domain's TLS chain as PEM files (cli.rs:34)")
+    p.add_argument("--domain", required=True)
+    p.add_argument("--certs-path", default="./certs")
+
+    p = sub.add_parser("gen-params", help="generate/cache the KZG SRS (cli.rs:44)")
+    _add_common(p, 17)
+
+    p = sub.add_parser("gen-rsa-keys", help="RSA circuit keygen (cli.rs:52)")
+    _add_common(p, 17)
+    p.add_argument("--verify-cert-path", default="./certs/cert_3.pem")
+    p.add_argument("--issuer-cert-path", default="./certs/cert_2.pem")
+    p.add_argument("--pk-path", default="./build/rsa.pk")
+
+    p = sub.add_parser("prove-rsa", help="RSA circuit proof (cli.rs:96)")
+    _add_common(p, 17)
+    p.add_argument("--verify-cert-path", default="./certs/cert_3.pem")
+    p.add_argument("--issuer-cert-path", default="./certs/cert_2.pem")
+    p.add_argument("--pk-path", default="./build/rsa.pk")
+    p.add_argument("--proof-path", default="./build/rsa.proof")
+
+    for name, helpmsg in (("gen-zkevm-sha256-keys", "SHA256 circuit keygen (cli.rs:80)"),
+                          ("gen-unoptimized-sha256-keys",
+                           "gate-level SHA256 keygen (cli.rs:66; same circuit here)")):
+        p = sub.add_parser(name, help=helpmsg)
+        _add_common(p, 0)
+        p.add_argument("--cert-path", default="./certs/cert_3.pem")
+        p.add_argument("--pk-path", default="./build/sha256.pk")
+
+    for name, helpmsg in (("prove-zkevm-sha256", "SHA256 proof (cli.rs:128)"),
+                          ("prove-unoptimized-sha256",
+                           "gate-level SHA256 proof (cli.rs:112; same circuit here)")):
+        p = sub.add_parser(name, help=helpmsg)
+        _add_common(p, 0)
+        p.add_argument("--cert-path", default="./certs/cert_3.pem")
+        p.add_argument("--pk-path", default="./build/sha256.pk")
+        p.add_argument("--proof-path", default="./build/sha256.proof")
+
+    p = sub.add_parser("gen-x509-agg-keys", help="aggregation keygen (cli.rs:144)")
+    _add_common(p, 22)
+    p.add_argument("--snarks", nargs=4, metavar="PROOF",
+                   default=["./build/rsa_1.proof", "./build/sha256_1.proof",
+                            "./build/rsa_2.proof", "./build/sha256_2.proof"])
+    p.add_argument("--pk-path", default="./build/x509_agg.pk")
+
+    p = sub.add_parser("gen-x509-agg-proof", help="aggregation proof (cli.rs:166)")
+    _add_common(p, 22)
+    p.add_argument("--snarks", nargs=4, metavar="PROOF",
+                   default=["./build/rsa_1.proof", "./build/sha256_1.proof",
+                            "./build/rsa_2.proof", "./build/sha256_2.proof"])
+    p.add_argument("--pk-path", default="./build/x509_agg.pk")
+    p.add_argument("--proof-path", default="./build/x509_agg.proof")
+
+    p = sub.add_parser("gen-x509-agg-evm-proof",
+                       help="aggregation EVM proof + verifier (cli.rs:188)")
+    _add_common(p, 22)
+    p.add_argument("--snarks", nargs=4, metavar="PROOF",
+                   default=["./build/rsa_1.proof", "./build/sha256_1.proof",
+                            "./build/rsa_2.proof", "./build/sha256_2.proof"])
+    p.add_argument("--pk-path", default="./build/x509_agg.pk")
+    p.add_argument("--proof-path", default="./build/x509_agg_evm.proof")
+    p.add_argument("--sol-path", default="./X509AggregationVerifierFinal.sol")
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.environ.setdefault("PARAMS_DIR", getattr(args, "params_path", "./params"))
+    if hasattr(args, "build_dir"):
+        os.makedirs(args.build_dir, exist_ok=True)
+
+    if args.cmd == "download-tls-certs":
+        from .cert import download_tls_certs_from_domain
+        paths = download_tls_certs_from_domain(args.domain, args.certs_path)
+        print("\n".join(paths))
+        return
+
+    from .plonk import gen_srs
+
+    if args.cmd == "gen-params":
+        params = gen_srs(args.k, args.params_path)
+        print(f"srs k={params.k} cached in {args.params_path}")
+        return
+
+    from .cert import extract_public_key, extract_tbs_and_sig, parse_pem
+    from . import sdk
+
+    def load(path):
+        with open(path, "rb") as f:
+            return parse_pem(f.read())
+
+    if args.cmd in ("gen-rsa-keys", "prove-rsa"):
+        from .circuits.rsa import RsaCircuit
+        verify_cert = load(args.verify_cert_path)
+        issuer = load(args.issuer_cert_path)
+        circuit = RsaCircuit(extract_public_key(issuer), k=args.k)
+        params = gen_srs(args.k, args.params_path)
+        pk = sdk.gen_pk(params, circuit.data, args.pk_path)
+        if args.cmd == "gen-rsa-keys":
+            print(f"rsa pk written to {args.pk_path}")
+            return
+        tbs, sig = extract_tbs_and_sig(verify_cert)
+        digest = hashlib.sha256(tbs).digest()
+        witness_fn, instances = circuit.witness(sig, digest)
+        sdk.gen_snark(params, pk, witness_fn, instances, args.proof_path)
+        print(f"rsa snark written to {args.proof_path}")
+        return
+
+    if args.cmd.endswith("sha256-keys") or args.cmd.startswith("prove-") and \
+            "sha256" in args.cmd:
+        from .circuits.sha256 import Sha256Circuit, min_k
+        cert = load(args.cert_path)
+        k = args.k or min_k(len(cert.tbs))
+        circuit = Sha256Circuit.build(len(cert.tbs), k)
+        params = gen_srs(k, args.params_path)
+        pk = sdk.gen_pk(params, circuit.data, args.pk_path)
+        if args.cmd.endswith("keys"):
+            print(f"sha256 pk written to {args.pk_path}")
+            return
+        advice, instances = circuit.witness(cert.tbs)
+        sdk.gen_snark(params, pk, advice, instances, args.proof_path)
+        print(f"sha256 snark written to {args.proof_path}")
+        return
+
+    if args.cmd.startswith("gen-x509-agg"):
+        raise SystemExit("aggregation circuit lands in the next milestone "
+                         "(SURVEY.md §7 step 8)")
+
+    raise SystemExit(f"unknown command {args.cmd}")
+
+
+if __name__ == "__main__":
+    main()
