@@ -150,17 +150,17 @@ def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     were ~5x slower on v5e. Uses raw dot_general, not einsum — opt_einsum
     path search at trace time dominated graph-build time.
     """
+    # NOTE(perf): an f32/Precision.HIGHEST MXU variant was tried — exact,
+    # but the 6-pass lowering OOMed the TPU compile helper on the big MSM
+    # graphs for only a marginal runtime win.  int32 dots are the stable
+    # baseline; the planned Pallas fused limb-mul kernel is the real lever.
     La, Lb = a.shape[-1], b.shape[-1]
-    t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb),
-                    dtype=jnp.float32)
-    outer = (a[..., :, None] * b[..., None, :]).astype(jnp.float32)
-    out = jax.lax.dot_general(
+    t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb))
+    outer = a[..., :, None] * b[..., None, :]
+    return jax.lax.dot_general(
         outer.reshape(a.shape[:-1] + (La * Lb,)), t,
         dimension_numbers=(((outer.ndim - 2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)  # exact f32: default 3-pass
-                                              # bf16 drops bits above 2^16
-    return out.astype(jnp.int32)
+        preferred_element_type=jnp.int32)
 
 
 def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -172,11 +172,9 @@ def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     W = x.shape[-1]
     low, high = x[..., :CANON_LIMBS], x[..., CANON_LIMBS:]
     folded = jax.lax.dot_general(
-        high.astype(jnp.float32),
-        spec_fold[: W - CANON_LIMBS].astype(jnp.float32),
+        high, spec_fold[: W - CANON_LIMBS],
         dimension_numbers=(((high.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+        preferred_element_type=jnp.int32)
     return low + folded
 
 

@@ -83,9 +83,13 @@ def _ntt_impl(a, perm, tws, n_inv, k: int, inverse: bool) -> jnp.ndarray:
 
 @lru_cache(maxsize=32)
 def _device_tables(k: int, inverse: bool):
-    perm = jnp.asarray(_bitrev_perm(k))
-    tws = tuple(jnp.asarray(t) for t in _stage_twiddles(k, inverse))
-    n_inv = jnp.asarray(_n_inv_limbs(k))
+    # ensure_compile_time_eval: this cache may be populated from inside a
+    # jit trace (the prover's batched conversion programs); without it the
+    # cached arrays would be leaked tracers.
+    with jax.ensure_compile_time_eval():
+        perm = jnp.asarray(_bitrev_perm(k))
+        tws = tuple(jnp.asarray(t) for t in _stage_twiddles(k, inverse))
+        n_inv = jnp.asarray(_n_inv_limbs(k))
     return perm, tws, n_inv
 
 

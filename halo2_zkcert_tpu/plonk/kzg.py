@@ -276,47 +276,45 @@ def _affine_batch_to_ints(aff: np.ndarray) -> list:
     return out
 
 
-def _pad_batch(cols: jnp.ndarray) -> jnp.ndarray:
-    """Pad the batch axis to a power of two so msm_many compiles once per
-    bucket instead of once per exact batch size (each MSM graph is a heavy
-    compile on this 1-core host)."""
-    m = cols.shape[0]
-    target = 1 << max(0, (m - 1).bit_length())
-    if target == m:
-        return cols
-    pad = jnp.zeros((target - m,) + cols.shape[1:], cols.dtype)
-    return jnp.concatenate([cols, pad], axis=0)
+@jax.jit
+def _to_affine_batch(stacked):
+    """(m, 3, NL) Jacobian accumulators -> (m, 2, NL) affine."""
+    return curve.to_affine((stacked[:, 0], stacked[:, 1], stacked[:, 2]))
 
 
-def commit_many_lagrange(params: ParamsKZG, cols) -> list:
-    """Batch-commit Lagrange columns: ONE device program + ONE fetch.
+def _commit_batch(base: jnp.ndarray, cols) -> list:
+    """m async msm_jacobian dispatches + ONE batched affine fetch.
 
-    cols: list of (n, NL) arrays (or an (m, n, NL) array). Returns
-    [(x, y), ...].  Per-point fetches cost ~25 ms on the remote tunnel;
-    the reference's per-column commit loop [dep] would pay that m times.
+    Latency profile matches a single fused program (dispatches pipeline;
+    only the final fetch blocks, ~25 ms on the remote tunnel), but only the
+    plain MSM graph is compiled — the lax.map-wrapped batch variant OOMed
+    the TPU compile helper at n=2^17.
     """
     if not isinstance(cols, jnp.ndarray):
-        if not cols:
+        if not len(cols):
             return []
         cols = jnp.stack(list(cols))
     m = cols.shape[0]
     if m == 0:
         return []
-    aff = np.asarray(msm.msm_many(jnp.asarray(params.g_lagrange),
-                                  _pad_batch(cols)))[:m]
+    accs = [jnp.stack(msm.msm_jacobian(base, cols[i])) for i in range(m)]
+    aff = np.asarray(_to_affine_batch(jnp.stack(accs)))
     return _affine_batch_to_ints(aff)
+
+
+def commit_many_lagrange(params: ParamsKZG, cols) -> list:
+    """Batch-commit Lagrange columns (reference: per-column commit loop
+    [dep]; here per-point fetches are collapsed into one)."""
+    return _commit_batch(jnp.asarray(params.g_lagrange), cols)
 
 
 def commit_many(params: ParamsKZG, polys) -> list:
     """Batch-commit monomial-basis polys (same length)."""
     if not isinstance(polys, jnp.ndarray):
-        if not polys:
+        if not len(polys):
             return []
         polys = jnp.stack(list(polys))
-    m = polys.shape[0]
-    if m == 0:
+    if polys.shape[0] == 0:
         return []
     deg = polys.shape[1]
-    aff = np.asarray(msm.msm_many(jnp.asarray(params.g[:deg]),
-                                  _pad_batch(polys)))[:m]
-    return _affine_batch_to_ints(aff)
+    return _commit_batch(jnp.asarray(params.g[:deg]), polys)
