@@ -157,9 +157,10 @@ def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     La, Lb = a.shape[-1], b.shape[-1]
     t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb))
     outer = a[..., :, None] * b[..., None, :]
+    outer = outer.reshape(outer.shape[:-2] + (La * Lb,))  # broadcast-safe
     return jax.lax.dot_general(
-        outer.reshape(a.shape[:-1] + (La * Lb,)), t,
-        dimension_numbers=(((outer.ndim - 2,), (0,)), ((), ())),
+        outer, t,
+        dimension_numbers=(((outer.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
 
 

@@ -35,6 +35,10 @@ class CircuitData:
     copies: list = field(default_factory=list)
     # per instance column, how many leading rows carry public values
     num_instance: list = field(default_factory=list)
+    # optional vectorized gate evaluator for the quotient pass (pure JAX,
+    # fn(ctx) -> [gate values] aligned with cs.gates; see prover._QuotientCtx).
+    # Not serialized — sdk.gen_pk re-grafts it onto loaded proving keys.
+    quotient_custom: Callable | None = None
 
     @property
     def n(self) -> int:

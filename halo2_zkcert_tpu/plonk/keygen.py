@@ -103,9 +103,12 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
         permutation_commitments=perm_commitments,
         num_instance=list(data.num_instance),
     )
-    return ProvingKey(
+    pk = ProvingKey(
         vk=vk,
         fixed_lagrange=fixed_lag, fixed_coeff=fixed_coeff,
         sigma_lagrange=sigma_lag, sigma_coeff=sigma_coeff,
         sigma_values=sig_vals,
     )
+    if data.quotient_custom is not None:
+        pk.__dict__["quotient_custom"] = data.quotient_custom
+    return pk

@@ -484,6 +484,23 @@ def _ext2coeff_pieces(values: jnp.ndarray, ext_k: int, g_inv: int,
     return jnp.stack([h_coeffs[i * n:(i + 1) * n] for i in range(qd)])
 
 
+class _QuotientCtx:
+    """Leaf context handed to circuit-supplied quotient evaluators
+    (CircuitData.quotient_custom): stacked extended-coset columns plus the
+    row-rotation stride.  Evaluators run inside the fused jitted pointwise
+    program and must be pure JAX."""
+
+    def __init__(self, col_ext, fixed_ext, stride, chal):
+        self.col_ext = col_ext      # (num_advice + num_instance, ext_n, NL)
+        self.fixed_ext = fixed_ext  # (num_fixed, ext_n, NL)
+        self.stride = stride
+        self.chal = chal
+
+    def rot(self, arr, r: int):
+        """Row rotation on (..., ext_n, NL) arrays."""
+        return jnp.roll(arr, -r * self.stride, axis=-2)
+
+
 def _quotient_fn(pk: ProvingKey):
     """Returns `run(advice_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal)
     -> (h_pieces, adv_coeff, permz_coeff, lkz_coeff, lka_coeff, lks_coeff)`.
@@ -569,8 +586,22 @@ def _quotient_fn(pk: ProvingKey):
             nonlocal h
             h = term if h is None else fadd(fmul(h, y_e), term)
 
-        for _, g in csys.gates:
-            acc(ext_leaf(g))
+        custom = pk.__dict__.get("quotient_custom")
+        if custom is not None:
+            # circuit-supplied vectorized evaluator (large structured gate
+            # forests — e.g. the SHA256 bit gates — compile to intractable
+            # per-column graphs through the generic tree walk; the custom
+            # path evaluates them as stacked-column array programs)
+            ctx = _QuotientCtx(col_ext=col_ext, fixed_ext=fixed_ext,
+                               stride=stride, chal=chal)
+            vals = custom(ctx)
+            assert len(vals) == len(csys.gates), \
+                "custom evaluator must cover every gate, in order"
+            for v in vals:
+                acc(v)
+        else:
+            for _, g in csys.gates:
+                acc(ext_leaf(g))
 
         if chunks:
             acc(fmul(l0_ext, fsub(one_ext, permz_ext[0])))

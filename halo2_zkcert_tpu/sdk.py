@@ -127,10 +127,15 @@ def gen_pk(params: ParamsKZG, data: CircuitData,
            path: str | None = None) -> ProvingKey:
     """keygen + optional persistence (reference `gen_pk`, cli.rs:247)."""
     if path and os.path.exists(path + ".npz"):
-        return read_pk(path)
-    pk = _keygen(params, data)
-    if path:
-        write_pk(pk, path)
+        pk = read_pk(path)
+    else:
+        pk = _keygen(params, data)
+        if path:
+            write_pk(pk, path)
+    # quotient_custom is a closure — never serialized; re-graft from the
+    # freshly built CircuitData so cached pks keep the fast quotient path
+    if data.quotient_custom is not None:
+        pk.__dict__["quotient_custom"] = data.quotient_custom
     return pk
 
 
