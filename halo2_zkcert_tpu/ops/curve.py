@@ -1,12 +1,16 @@
 """BN254 G1 group operations on limb arrays (batched, branchless).
 
 TPU-first design notes:
-* Points are Jacobian ``(X, Y, Z)`` tuples of ``(..., NLIMBS)`` Fq limb
-  arrays; the identity is ``Z == 0`` (stored as (0, 1, 0)).
-* ``add`` is *complete*: identity / doubling / inverse cases are resolved
-  with `jnp.where` selects, never Python branches — the same compiled kernel
-  handles every case, which is what `lax.associative_scan` (MSM bucket
-  accumulation) and `fori_loop` (scalar mul) require.
+* Points are homogeneous projective ``(X, Y, Z)`` tuples of
+  ``(..., NLIMBS)`` Fq limb arrays; the identity is ``(0, 1, 0)``.
+* ``add``/``double`` are the Renes-Costello-Batina COMPLETE formulas for
+  j-invariant-0 curves (eprint 2015/1060, Algorithms 7 and 9, b3 = 9):
+  12M / 6M straight-line programs with NO case analysis — every exceptional
+  case (identity, doubling, inverse) falls out of the algebra.  The earlier
+  complete-Jacobian version needed ~24M plus `is_zero` exact-carry scans
+  and a 5-way select cascade per add; since `lax.associative_scan` (MSM
+  bucket accumulation) executes adds O(N) times, the unconditional
+  straight-line form is ~3x cheaper end to end.
 * Reference semantics: halo2curves axiom fork G1 (Cargo.lock:1359 [dep]);
   we match the group law and serialization, not its 4x64 Montgomery layout.
 """
@@ -61,7 +65,7 @@ def identity(shape=()) -> tuple:
 
 
 def from_affine(xy: jnp.ndarray) -> tuple:
-    """(..., 2, NLIMBS) affine (with (0,0) = identity) -> Jacobian tuple."""
+    """(..., 2, NLIMBS) affine (with (0,0) = identity) -> projective."""
     x, y = xy[..., 0, :], xy[..., 1, :]
     inf = _is_zero(x) & _is_zero(y)
     one = jnp.zeros_like(x).at[..., 0].set(1)
@@ -76,24 +80,28 @@ def is_identity(P) -> jnp.ndarray:
 
 def neg(P) -> tuple:
     X, Y, Z = P
-    nY = limbs.neg(FQ, Y)
-    # keep identity's Y=1 representation stable (any Y works when Z=0)
-    return (X, nY, Z)
+    return (X, limbs.neg(FQ, Y), Z)
+
+
+B3 = 9   # 3*b for y^2 = x^3 + 3
 
 
 def double(P) -> tuple:
-    """Jacobian doubling (a=0 curve): 2009-l style, complete for Z=0/Y=0."""
-    X1, Y1, Z1 = P
-    A = _sqr(X1)
-    B = _sqr(Y1)
-    C = _sqr(B)
-    t = _sqr(_add(X1, B))
-    D = _small(_sub(_sub(t, A), C), 2)
-    E = _small(A, 3)
-    F = _sqr(E)
-    X3 = _sub(F, _small(D, 2))
-    Y3 = _sub(_mul(E, _sub(D, X3)), _small(C, 8))
-    Z3 = _small(_mul(Y1, Z1), 2)
+    """RCB16 Algorithm 9 (complete, a=0): 6M + 2 small."""
+    X, Y, Z = P
+    t0 = _sqr(Y)
+    Z3 = _small(t0, 8)
+    t1 = _mul(Y, Z)
+    t2 = _small(_sqr(Z), B3)
+    X3 = _mul(t2, Z3)
+    Y3 = _add(t0, t2)
+    Z3 = _mul(t1, Z3)
+    t2 = _small(t2, 3)
+    t0 = _sub(t0, t2)
+    Y3 = _mul(t0, Y3)
+    Y3 = _add(X3, Y3)
+    t1 = _mul(X, Y)
+    X3 = _small(_mul(t0, t1), 2)
     return (X3, Y3, Z3)
 
 
@@ -104,44 +112,31 @@ def _sel(cond, a, b):
 
 
 def add(P, Q) -> tuple:
-    """Complete Jacobian addition (branchless).
+    """RCB16 Algorithm 7 (complete, a=0): 12M + 2 small, no branches.
 
-    Handles: P=inf, Q=inf, P=Q (double), P=-Q (infinity), generic.
-    Associative over the whole group — safe for associative_scan.
+    Handles identity / doubling / inverse cases purely algebraically —
+    associative over the whole group, safe for associative_scan.
     """
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    p_inf = _is_zero(Z1)
-    q_inf = _is_zero(Z2)
-    Z1Z1 = _sqr(Z1)
-    Z2Z2 = _sqr(Z2)
-    U1 = _mul(X1, Z2Z2)
-    U2 = _mul(X2, Z1Z1)
-    S1 = _mul(_mul(Y1, Z2), Z2Z2)
-    S2 = _mul(_mul(Y2, Z1), Z1Z1)
-    H = _sub(U2, U1)
-    R = _sub(S2, S1)
-    h_zero = _is_zero(H)
-    r_zero = _is_zero(R)
-    # generic addition
-    I = _sqr(_small(H, 2))
-    J = _mul(H, I)
-    rr = _small(R, 2)
-    V = _mul(U1, I)
-    X3 = _sub(_sub(_sqr(rr), J), _small(V, 2))
-    Y3 = _sub(_mul(rr, _sub(V, X3)), _small(_mul(S1, J), 2))
-    ZZ = _sub(_sub(_sqr(_add(Z1, Z2)), Z1Z1), Z2Z2)
-    Z3 = _mul(ZZ, H)
-    gen = (X3, Y3, Z3)
-    dbl = double(P)
-    inf = identity(Z1.shape[:-1])
-    # selection cascade (last applied wins)
-    out = gen
-    out = _sel(h_zero & r_zero & ~p_inf & ~q_inf, dbl, out)
-    out = _sel(h_zero & ~r_zero & ~p_inf & ~q_inf, inf, out)
-    out = _sel(q_inf, P, out)
-    out = _sel(p_inf, Q, out)
-    return out
+    t0 = _mul(X1, X2)
+    t1 = _mul(Y1, Y2)
+    t2 = _mul(Z1, Z2)
+    t3 = _mul(_add(X1, Y1), _add(X2, Y2))
+    t3 = _sub(t3, _add(t0, t1))                 # X1Y2 + X2Y1
+    t4 = _mul(_add(Y1, Z1), _add(Y2, Z2))
+    t4 = _sub(t4, _add(t1, t2))                 # Y1Z2 + Y2Z1
+    X3 = _mul(_add(X1, Z1), _add(X2, Z2))
+    Y3 = _sub(X3, _add(t0, t2))                 # X1Z2 + X2Z1
+    t0 = _small(t0, 3)                          # 3 X1X2
+    t2 = _small(t2, B3)                         # b3 Z1Z2
+    Z3 = _add(t1, t2)
+    t1 = _sub(t1, t2)
+    Y3 = _small(Y3, B3)
+    X3 = _sub(_mul(t3, t1), _mul(t4, Y3))
+    Y3 = _add(_mul(t1, Z3), _mul(Y3, t0))
+    Z3 = _add(_mul(Z3, t4), _mul(t0, t3))
+    return (X3, Y3, Z3)
 
 
 def scalar_mul(P, scalar_digits: jnp.ndarray) -> tuple:
@@ -179,7 +174,7 @@ def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def to_affine(P) -> jnp.ndarray:
-    """Jacobian -> affine (..., 2, NLIMBS); identity -> (0, 0).
+    """Projective -> affine (..., 2, NLIMBS); identity -> (0, 0).
 
     Uses batched inversion over the leading axis when P is a batch.
     """
@@ -188,9 +183,8 @@ def to_affine(P) -> jnp.ndarray:
     safe_z = jnp.where(inf[..., None], jnp.zeros_like(Z).at[..., 0].set(1), Z)
     flat = safe_z.reshape(-1, NL)
     zinv = batch_inv(flat).reshape(safe_z.shape)
-    zinv2 = _sqr(zinv)
-    x = _mul(X, zinv2)
-    y = _mul(Y, _mul(zinv2, zinv))
+    x = _mul(X, zinv)
+    y = _mul(Y, zinv)
     x = jnp.where(inf[..., None], jnp.zeros_like(x), x)
     y = jnp.where(inf[..., None], jnp.zeros_like(y), y)
     return jnp.stack([limbs.canonical_pad(FQ, x), limbs.canonical_pad(FQ, y)], axis=-2)

@@ -150,18 +150,26 @@ def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     were ~5x slower on v5e. Uses raw dot_general, not einsum — opt_einsum
     path search at trace time dominated graph-build time.
     """
-    # NOTE(perf): an f32/Precision.HIGHEST MXU variant was tried — exact,
-    # but the 6-pass lowering OOMed the TPU compile helper on the big MSM
-    # graphs for only a marginal runtime win.  int32 dots are the stable
-    # baseline; the planned Pallas fused limb-mul kernel is the real lever.
+    # NOTE(perf): this was a dense (La*Lb, La+Lb) one-hot dot_general —
+    # which does La*Lb*(La+Lb) ~ 72k MACs per element on the slow int32
+    # matmul path to select 1089 products.  The shift-add form below does
+    # the 1089 multiplies + adds directly on the VPU (La fused
+    # multiply-accumulate slices); measured ~10x faster inside the MSM.
+    # (An f32/Precision.HIGHEST MXU variant was also tried — exact, but
+    # the 6-pass lowering OOMed the TPU compile helper on big graphs.)
     La, Lb = a.shape[-1], b.shape[-1]
-    t = jnp.asarray(_conv_onehot(La, Lb).reshape(La * Lb, La + Lb))
-    outer = a[..., :, None] * b[..., None, :]
-    outer = outer.reshape(outer.shape[:-2] + (La * Lb,))  # broadcast-safe
-    return jax.lax.dot_general(
-        outer, t,
-        dimension_numbers=(((outer.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    terms = []
+    for i in range(La):
+        prod = a[..., i:i + 1] * b          # (..., Lb)
+        terms.append(jnp.pad(jnp.broadcast_to(prod, shape + (Lb,)),
+                             [(0, 0)] * len(shape) + [(i, La - i)]))
+    while len(terms) > 1:
+        nxt = [terms[j] + terms[j + 1] for j in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

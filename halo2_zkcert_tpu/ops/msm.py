@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import curve, limbs
 from .field import FR
@@ -105,12 +106,7 @@ def _horner_windows(window_sums):
 
 
 @jax.jit
-def msm_jacobian(points_affine: jnp.ndarray, scalars: jnp.ndarray):
-    """MSM: sum_i scalars[i] * points[i].
-
-    points_affine: (N, 2, NL) ((0,0) rows = identity); scalars: (N, W) Fr.
-    Returns a Jacobian point (tuple of (NL,) arrays).
-    """
+def _msm_jacobian_one(points_affine: jnp.ndarray, scalars: jnp.ndarray):
     pts = curve.from_affine(points_affine)
     digits = scalars_to_digits(scalars)             # (N, 32)
 
@@ -120,6 +116,45 @@ def msm_jacobian(points_affine: jnp.ndarray, scalars: jnp.ndarray):
     buckets = jax.lax.map(per_window, digits.T)     # (32, 256, NL) tuple
     window_sums = _suffix_combine(buckets)
     return _horner_windows(window_sums)
+
+
+@jax.jit
+def _jac_add(a, b):
+    return curve.add(a, b)
+
+
+# Per-program point-count cap.  The bucket pass's associative prefix scan
+# crashes the TPU worker (kernel fault / scratch exhaustion) somewhere
+# between 2^14 and 2^16 points; chunking also means ONE compiled program
+# shape serves every large MSM (compiles are minutes on this host).
+MSM_CHUNK = 1 << 14
+
+
+def msm_jacobian(points_affine: jnp.ndarray, scalars: jnp.ndarray):
+    """MSM: sum_i scalars[i] * points[i].
+
+    points_affine: (N, 2, NL) ((0,0) rows = identity); scalars: (N, W) Fr.
+    Returns a Jacobian point (tuple of (NL,) arrays).  Large inputs run as
+    MSM_CHUNK-sized programs whose Jacobian partials are added on device;
+    a tiny host fetch per chunk bounds in-flight device memory.
+    """
+    n = points_affine.shape[0]
+    if n <= MSM_CHUNK:
+        return _msm_jacobian_one(points_affine, scalars)
+    acc = None
+    for off in range(0, n, MSM_CHUNK):
+        p = points_affine[off:off + MSM_CHUNK]
+        s = scalars[off:off + MSM_CHUNK]
+        if p.shape[0] < MSM_CHUNK:
+            pad = MSM_CHUNK - p.shape[0]
+            p = jnp.concatenate(
+                [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)], axis=0)
+            s = jnp.concatenate(
+                [s, jnp.zeros((pad,) + s.shape[1:], s.dtype)], axis=0)
+        part = _msm_jacobian_one(p, s)
+        acc = part if acc is None else _jac_add(acc, part)
+        np.asarray(acc[0][:1])      # host fetch: real in-flight barrier
+    return acc
 
 
 def msm(points_affine: jnp.ndarray, scalars: jnp.ndarray) -> jnp.ndarray:

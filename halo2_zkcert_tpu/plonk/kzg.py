@@ -282,13 +282,17 @@ def _to_affine_batch(stacked):
     return curve.to_affine((stacked[:, 0], stacked[:, 1], stacked[:, 2]))
 
 
-def _commit_batch(base: jnp.ndarray, cols) -> list:
-    """m async msm_jacobian dispatches + ONE batched affine fetch.
+def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
+    """Async msm_jacobian dispatches (bounded pipeline) + ONE batched
+    affine fetch.
 
-    Latency profile matches a single fused program (dispatches pipeline;
-    only the final fetch blocks, ~25 ms on the remote tunnel), but only the
-    plain MSM graph is compiled — the lax.map-wrapped batch variant OOMed
-    the TPU compile helper at n=2^17.
+    Dispatches pipeline so the tunnel round-trip is paid once, but only
+    `group` MSM programs may be in flight at a time: each program's
+    bucket/window temporaries are hundreds of MB at n=2^17, and an
+    unbounded pipeline of ~20 column commits crashed the TPU worker
+    (device OOM).  A tiny per-group fetch (~25 ms) bounds live memory.
+    The lax.map-wrapped batch variant is no alternative — it OOMed the
+    COMPILE helper at n=2^17.
     """
     if not isinstance(cols, jnp.ndarray):
         if not len(cols):
@@ -297,7 +301,11 @@ def _commit_batch(base: jnp.ndarray, cols) -> list:
     m = cols.shape[0]
     if m == 0:
         return []
-    accs = [jnp.stack(msm.msm_jacobian(base, cols[i])) for i in range(m)]
+    accs = []
+    for i in range(m):
+        accs.append(jnp.stack(msm.msm_jacobian(base, cols[i])))
+        if (i + 1) % group == 0 and i + 1 < m:
+            np.asarray(accs[-1][0, :1])   # host fetch = real barrier
     aff = np.asarray(_to_affine_batch(jnp.stack(accs)))
     return _affine_batch_to_ints(aff)
 
