@@ -189,6 +189,43 @@ class GateBuilder:
                 "num_lookup_advice": num_lookup,
                 "lookup_bits": self.lookup_bits}
 
+    def register(self, cs: ConstraintSystem, na: int, nl: int,
+                 phase: int = 0, table=None):
+        """Register this trace's columns/gates/lookups into `cs` (shared-CS
+        composition — the aggregation circuit packs builder columns next to
+        bigint-tape columns; reference analog: halo2-base phase columns
+        inside one ConstraintSystem [dep]).
+
+        Returns a dict of column handles. `table` is an existing 2^lookup_bits
+        range-table fixed column to share (created here if None and nl > 0).
+        """
+        adv = [cs.advice_column(phase=phase) for _ in range(na)]
+        lk_adv = [cs.advice_column(phase=phase) for _ in range(nl)]
+        inst = cs.instance_column() if self.instance_cells else None
+        selectors = [cs.fixed_column() for _ in range(na)]
+        f_const = cs.fixed_column()
+        if nl and table is None:
+            table = cs.fixed_column()
+            for_table_fill = True
+        else:
+            for_table_fill = False
+
+        for j, col in enumerate(adv):
+            A = lambda r, cj=col: ex.Advice(cj.index, r, phase=phase)
+            cs.create_gate(f"vgate{col.index}",
+                           selectors[j] * (A(0) + A(1) * A(2) - A(3)))
+        for col in lk_adv:
+            cs.add_lookup(f"range{col.index}",
+                          [(ex.Advice(col.index, phase=phase), table)])
+        for col in adv + lk_adv:
+            cs.enable_permutation(Column(ADVICE, col.index))
+        cs.enable_permutation(Column(FIXED, f_const.index))
+        if inst is not None:
+            cs.enable_permutation(Column(INSTANCE, inst.index))
+        return {"adv": adv, "lk_adv": lk_adv, "inst": inst,
+                "selectors": selectors, "f_const": f_const, "table": table,
+                "fill_table": for_table_fill}
+
     def finalize(self, k: int, params: dict | None = None):
         """-> (CircuitData, advice_array, instances).
 
@@ -203,27 +240,41 @@ class GateBuilder:
             assert self.lookup_bits <= k - 1, "table must fit the column"
 
         cs = ConstraintSystem()
-        adv = [cs.advice_column() for _ in range(na)]
-        lk_adv = [cs.advice_column() for _ in range(nl)]
-        inst = cs.instance_column() if self.instance_cells else None
-        selectors = [cs.fixed_column() for _ in range(na)]
-        f_const = cs.fixed_column()
-        table = cs.fixed_column() if nl else None
-
-        for j, col in enumerate(adv):
-            A = lambda r, cj=col: ex.Advice(cj.index, r)
-            cs.create_gate(f"vgate{j}",
-                           selectors[j] * (A(0) + A(1) * A(2) - A(3)))
-        for col in lk_adv:
-            cs.add_lookup(f"range{col.index}", [(ex.Advice(col.index), table)])
-        for col in adv + lk_adv:
-            cs.enable_permutation(Column(ADVICE, col.index))
-        cs.enable_permutation(Column(FIXED, f_const.index))
-        if inst is not None:
-            cs.enable_permutation(Column(INSTANCE, inst.index))
+        cols = self.register(cs, na, nl)
+        adv, lk_adv, inst = cols["adv"], cols["lk_adv"], cols["inst"]
+        selectors, f_const, table = (cols["selectors"], cols["f_const"],
+                                     cols["table"])
 
         usable = cs.usable_rows(n)
-        # --- place trace cells ---
+        packed = self.pack(cs, cols, n)
+        fixed = np.zeros((cs.num_fixed, n), dtype=object)
+        for ci, r, v in packed["fixed"]:
+            fixed[ci][r] = v
+        if table is not None:
+            for r in range(1 << self.lookup_bits):
+                fixed[table.index][r] = r
+
+        data = CircuitData(cs=cs, k=k, fixed=fixed, copies=packed["copies"],
+                           num_instance=[len(self.instance_cells)]
+                           if inst is not None else [])
+        total_adv = na + nl
+        adv_vals = packed["advice"]
+        arr = np.zeros((total_adv, n, limbs.NLIMBS), dtype=np.int32)
+        for j in range(total_adv):
+            arr[j] = limbs.ints_to_limbs(list(adv_vals[j]), limbs.NLIMBS)
+        return data, jnp.asarray(arr), packed["instances"]
+
+    def pack(self, cs: ConstraintSystem, cols: dict, n: int):
+        """Place the virtual trace into the registered columns.
+
+        Returns {placement, advice (object array, registered-cols only),
+        fixed [(col,row,val)], copies [CircuitData format], instances}.
+        Shared-CS callers merge these into their own arrays.
+        """
+        adv, lk_adv, inst = cols["adv"], cols["lk_adv"], cols["inst"]
+        selectors, f_const = cols["selectors"], cols["f_const"]
+        na, nl = len(adv), len(lk_adv)
+        usable = cs.usable_rows(n)
         placement: dict = {}
         gate_set = set(self.gate_rows)
         col_i, row = 0, 0
@@ -232,30 +283,23 @@ class GateBuilder:
                 col_i += 1
                 row = 0
             assert col_i < na, \
-                f"trace needs more columns: {len(self.values)} cells, k={k}"
+                f"trace needs more columns: {len(self.values)} cells, n={n}"
             placement[idx] = (col_i, row)
             row += 1
 
-        # --- fixed columns ---
-        fixed = np.zeros((cs.num_fixed, n), dtype=object)
+        fixed = []
         for g in self.gate_rows:
             cj, r = placement[g]
-            fixed[selectors[cj].index][r] = 1
+            fixed.append((selectors[cj].index, r, 1))
         const_rows: dict = {}
         for i, (idx, val) in enumerate(self.const_cells):
             assert i < usable, "too many distinct constants"
-            fixed[f_const.index][i] = val
+            fixed.append((f_const.index, i, val))
             const_rows[idx] = i
-        if table is not None:
-            for r in range(1 << self.lookup_bits):
-                fixed[table.index][r] = r
 
-        # --- advice arrays ---
         total_adv = na + nl
         adv_vals = np.zeros((total_adv, n), dtype=object)
-        for r in range(n):
-            for j in range(total_adv):
-                adv_vals[j][r] = 0
+        adv_vals[:] = 0
         for idx, (cj, r) in placement.items():
             adv_vals[cj][r] = self.values[idx]
 
@@ -269,7 +313,6 @@ class GateBuilder:
             cj, r = placement[idx]
             copies.append(((ADVICE, adv[cj].index, r),
                            (FIXED, f_const.index, fr_row)))
-        # route range-checked cells into lookup columns by copy
         lk_cursor = 0
         for idx in self.range_checked:
             cj, r = placement[idx]
@@ -289,12 +332,5 @@ class GateBuilder:
                                (INSTANCE, inst.index, i)))
                 vals.append(self.values[idx])
             instances = [vals]
-
-        data = CircuitData(cs=cs, k=k, fixed=fixed, copies=copies,
-                           num_instance=[len(self.instance_cells)]
-                           if inst is not None else [])
-        # advice to limb arrays
-        arr = np.zeros((total_adv, n, limbs.NLIMBS), dtype=np.int32)
-        for j in range(total_adv):
-            arr[j] = limbs.ints_to_limbs(list(adv_vals[j]), limbs.NLIMBS)
-        return data, jnp.asarray(arr), instances
+        return {"placement": placement, "advice": adv_vals, "fixed": fixed,
+                "copies": copies, "instances": instances}
