@@ -152,8 +152,43 @@ def main(argv=None):
         return
 
     if args.cmd.startswith("gen-x509-agg"):
-        raise SystemExit("aggregation circuit lands in the next milestone "
-                         "(SURVEY.md §7 step 8)")
+        from .circuits.aggregation import InnerSnark, verify_aggregated
+        from .circuits.x509_agg import X509VerifierAggregationCircuit
+        snarks = []
+        for path in args.snarks:
+            s = sdk.Snark.read(path)
+            snarks.append(InnerSnark(vk=s.vk, instances=s.instances,
+                                     proof=s.proof))
+        params = gen_srs(args.k, args.params_path)
+        circuit = X509VerifierAggregationCircuit(snarks, k=args.k)
+        rep = circuit.rows_report()
+        print(f"agg circuit: tape rows {rep['tape_rows']}, "
+              f"builder cells {rep['builder_cells']}, usable {rep['usable']}")
+        pk = sdk.gen_pk(params, circuit.data, args.pk_path)
+        if args.cmd == "gen-x509-agg-keys":
+            print(f"x509 agg pk written to {args.pk_path}")
+            return
+        witness_fn, instances = circuit.witness()
+        if args.cmd == "gen-x509-agg-proof":
+            snark = sdk.gen_snark(params, pk, witness_fn, instances,
+                                  args.proof_path)
+            from .transcript import PoseidonTranscript
+            assert verify_aggregated(params, pk.vk, instances, snark.proof,
+                                     PoseidonTranscript), \
+                "aggregated accumulator pairing failed"
+            print(f"x509 agg snark written to {args.proof_path}")
+            return
+        # gen-x509-agg-evm-proof
+        sol = sdk.gen_evm_verifier(params, pk.vk,
+                                   [len(c) for c in instances],
+                                   args.sol_path,
+                                   name="X509AggregationVerifierFinal")
+        proof = sdk.gen_evm_proof(params, pk, witness_fn, instances,
+                                  args.proof_path)
+        assert sdk.evm_verify(params, pk.vk, instances, proof)
+        print(f"x509 agg evm proof written to {args.proof_path}; "
+              f"verifier at {args.sol_path}")
+        return
 
     raise SystemExit(f"unknown command {args.cmd}")
 

@@ -134,10 +134,26 @@ def _pow_ir(L: EvmIrLoader, xn_id: int, e: int) -> int:
 
 
 def build_verifier_ir(vk, num_instance_rows: list):
-    """-> (ops, proof_len_bytes)."""
+    """-> (ops, proof_len_bytes).
+
+    For aggregation vks (vk.accumulator_indices set), the trailing pairing
+    additionally folds in the deferred KZG accumulator reconstructed from
+    the instance limbs, combined with a squeezed challenge rho (reference:
+    snark-verifier EvmLoader accumulator handling [dep]):
+        e(W' + rho*LHS*, [s]2) * e(-(u*W' + z0inv*acc + rho*RHS*), [1]2)
+    """
     loader = EvmIrLoader(vk)
     result = verify_core(loader, vk, num_instance_rows)
     assert loader.ops and loader.ops[result][0] == "final"
+    acc_idx = getattr(vk, "accumulator_indices", None)
+    if acc_idx:
+        assert len(acc_idx) == 8, "expected 2 points x 2 coords x 2 limbs"
+        final = loader.ops.pop()
+        ids = [loader._emit("instance", c, r) for (c, r) in acc_idx]
+        coords = [loader._emit("comb128", ids[2 * i], ids[2 * i + 1])
+                  for i in range(4)]
+        rho = loader._emit("squeeze")
+        loader._emit("final_acc", *final[1:], *coords, rho)
     return loader.ops, loader.cursor
 
 
@@ -202,15 +218,28 @@ def _execute(ops, instances, proof, params) -> bool:
             vals[i] = 0
         elif tag == "ec_acc_y":
             vals[i] = 0
-        elif tag == "final":
+        elif tag == "comb128":
+            vals[i] = vals[op[1]] + (vals[op[2]] << 128)
+        elif tag in ("final", "final_acc"):
             w = (vals[op[1]], vals[op[2]])
             accp = pts[op[3]]
             z0_inv, u = vals[op[5]], vals[op[6]]
             Lp = rc.g1_mul(accp, z0_inv)
-            lhs = rc.g1_to_affine(
-                rc.g1_add(rc.g1_mul(rc.g1_from_affine(w), u), Lp))
+            lhs = rc.g1_add(rc.g1_mul(rc.g1_from_affine(w), u), Lp)
+            w_total = rc.g1_from_affine(w)
+            if tag == "final_acc":
+                coords = [vals[op[7 + j]] for j in range(4)]
+                for x, y in ((coords[0], coords[1]), (coords[2], coords[3])):
+                    if x >= rc.FQ or y >= rc.FQ or \
+                            not rc.g1_is_on_curve_affine((x, y)):
+                        raise ValueError("bad accumulator point")
+                rho = vals[op[11]]
+                w_total = rc.g1_add(
+                    w_total, rc.g1_mul(
+                        rc.g1_from_affine((coords[0], coords[1])), rho))
+                lhs = rc.g1_add(lhs, rc.g1_mul(
+                    rc.g1_from_affine((coords[2], coords[3])), rho))
             return rc.pairing_check([
-                (w, params.s_g2),
-                (rc.g1_to_affine(rc.g1_neg(rc.g1_from_affine(lhs))),
-                 params.g2)])
+                (rc.g1_to_affine(w_total), params.s_g2),
+                (rc.g1_to_affine(rc.g1_neg(lhs)), params.g2)])
     raise AssertionError("no final op")

@@ -39,6 +39,8 @@ class CircuitData:
     # fn(ctx) -> [gate values] aligned with cs.gates; see prover._QuotientCtx).
     # Not serialized — sdk.gen_pk re-grafts it onto loaded proving keys.
     quotient_custom: Callable | None = None
+    # aggregation circuits: [(col, row)] of the 8 accumulator limb instances
+    accumulator_indices: list | None = None
 
     @property
     def n(self) -> int:

@@ -30,6 +30,9 @@ class VerifyingKey:
     fixed_commitments: list          # [(x, y)]
     permutation_commitments: list    # [(x, y)] sigma commitments
     num_instance: list
+    # aggregation circuits: [(col, row)] of the 8 exposed accumulator limbs
+    # (reference: CircuitExt::accumulator_indices, lib.rs:137-139)
+    accumulator_indices: list | None = None
 
     @property
     def n(self) -> int:
@@ -102,6 +105,7 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
         fixed_commitments=fixed_commitments,
         permutation_commitments=perm_commitments,
         num_instance=list(data.num_instance),
+        accumulator_indices=data.accumulator_indices,
     )
     pk = ProvingKey(
         vk=vk,

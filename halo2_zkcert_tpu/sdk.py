@@ -61,6 +61,7 @@ def _vk_to_dict(vk: VerifyingKey) -> dict:
     return {
         "k": vk.k,
         "num_instance": vk.num_instance,
+        "accumulator_indices": vk.accumulator_indices,
         "fixed_commitments": [[x, y] for (x, y) in vk.fixed_commitments],
         "permutation_commitments": [[x, y] for (x, y)
                                     in vk.permutation_commitments],
@@ -71,12 +72,15 @@ def _vk_to_dict(vk: VerifyingKey) -> dict:
 
 
 def _vk_from_dict(d: dict) -> VerifyingKey:
+    acc = d.get("accumulator_indices")
     return VerifyingKey(
         k=d["k"], cs=pickle.loads(bytes.fromhex(d["cs"])),
         fixed_commitments=[(int(x), int(y)) for x, y in d["fixed_commitments"]],
         permutation_commitments=[(int(x), int(y)) for x, y
                                  in d["permutation_commitments"]],
         num_instance=list(d["num_instance"]),
+        accumulator_indices=[(int(c), int(r)) for c, r in acc]
+        if acc else None,
     )
 
 

@@ -23,10 +23,15 @@ from ..utils import refcrypto as rc
 from . import poseidon as _poseidon
 from .poseidon import PoseidonSponge, permute, poseidon_constants
 
-# halo2-ecc non-native representation of Fq over Fr: 3 limbs x 88 bits
-# (snark-verifier-sdk constants LIMBS=3, BITS=88 [dep] Cargo.lock:2714).
-NUM_LIMBS = 3
-LIMB_BITS = 88
+# Fq-over-Fr limb decomposition for point absorption & accumulator
+# exposure.  The reference uses halo2-ecc's CRT width LIMBS=3, BITS=88
+# [dep Cargo.lock:2714]; this framework's non-native arithmetic is the
+# 16-bit challenge tape (circuits/bigint_tape.py), so the natural exact
+# packing is 2 x 128 bits (8 tape limbs each, no bit splitting in-circuit
+# and one sponge permutation per coordinate pair).  Known deviation from
+# the reference convention — consistent across native/EVM/in-circuit here.
+NUM_LIMBS = 2
+LIMB_BITS = 128
 
 
 def fe_to_limbs(x: int, num_limbs: int = NUM_LIMBS, limb_bits: int = LIMB_BITS):
