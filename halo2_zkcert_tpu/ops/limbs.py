@@ -159,17 +159,18 @@ def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     # the 6-pass lowering OOMed the TPU compile helper on big graphs.)
     La, Lb = a.shape[-1], b.shape[-1]
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    terms = []
+    pad_cfg = [(0, 0)] * len(shape)
+    acc = None
+    # left-deep accumulation ON PURPOSE: a balanced tree keeps O(La) padded
+    # (..., La+Lb) temporaries live at once, which blew past HBM on the
+    # extended-domain quotient graphs (38G requested at k=17); the linear
+    # chain lets XLA free each term immediately.
     for i in range(La):
         prod = a[..., i:i + 1] * b          # (..., Lb)
-        terms.append(jnp.pad(jnp.broadcast_to(prod, shape + (Lb,)),
-                             [(0, 0)] * len(shape) + [(i, La - i)]))
-    while len(terms) > 1:
-        nxt = [terms[j] + terms[j + 1] for j in range(0, len(terms) - 1, 2)]
-        if len(terms) % 2:
-            nxt.append(terms[-1])
-        terms = nxt
-    return terms[0]
+        term = jnp.pad(jnp.broadcast_to(prod, shape + (Lb,)),
+                       pad_cfg + [(i, La - i)])
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

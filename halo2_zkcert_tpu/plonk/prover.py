@@ -454,14 +454,12 @@ import jax
 
 
 @partial(jax.jit, static_argnums=1)
-def _lag2coeff_batch(cols: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(C, n, NL) Lagrange columns -> monomial coeffs, one batched iNTT."""
+def _lag2coeff_jit(cols: jnp.ndarray, k: int) -> jnp.ndarray:
     return ntt.intt(jnp.moveaxis(cols, 0, 1), k).swapaxes(0, 1)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
-def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
-    """(C, n, NL) coeffs -> (C, ext_n, NL) coset values, one batched NTT."""
+def _coeff2ext_jit(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
     C, n, _ = cols.shape
     ext_n = 1 << ext_k
     from ..ops.field import FR as FRS
@@ -470,6 +468,39 @@ def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
     gpw = frops.powers(Fr.from_ints([g])[0], ext_n)    # (ext_n, NL)
     x = limbs.mul(FRS, x, gpw[:, None, :])
     return jnp.moveaxis(ntt.ntt(x, ext_k), 1, 0)
+
+
+# Column-group cap for the batched domain conversions.  One program shape
+# per (group, k) keeps compiles bounded AND caps live HBM — an unbounded
+# column batch at the 4n extended domain asked for 38G at k=17.
+_NTT_GROUP = 4
+
+
+def _chunk_cols(fn, cols, group=_NTT_GROUP):
+    m = cols.shape[0]
+    if m == 0:
+        return cols
+    outs = []
+    for off in range(0, m, group):
+        c = cols[off:off + group]
+        pad = group - c.shape[0]
+        if pad and m > group:
+            c = jnp.concatenate(
+                [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)], axis=0)
+        out = fn(c)
+        outs.append(out if pad == 0 or m <= group else out[:group - pad])
+        np.asarray(outs[-1][0, :1, :1])   # host fetch: bound in-flight mem
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def _lag2coeff_batch(cols: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(C, n, NL) Lagrange columns -> monomial coeffs, group-chunked iNTTs."""
+    return _chunk_cols(lambda c: _lag2coeff_jit(c, k), cols)
+
+
+def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
+    """(C, n, NL) coeffs -> (C, ext_n, NL) coset values, group-chunked."""
+    return _chunk_cols(lambda c: _coeff2ext_jit(c, ext_k, g), cols)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
