@@ -160,17 +160,23 @@ def conv_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     La, Lb = a.shape[-1], b.shape[-1]
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     pad_cfg = [(0, 0)] * len(shape)
+    # all arithmetic in f32: TPU VPUs have no full-rate int32 multiply
+    # (integer muls lower to a slow emulation path), while f32 FMA is
+    # native.  Exact: products <= 511*511 and per-coefficient sums
+    # <= 33*511^2 < 2^24 stay below the f32 integer-exact range.
+    af = a.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
     acc = None
     # left-deep accumulation ON PURPOSE: a balanced tree keeps O(La) padded
     # (..., La+Lb) temporaries live at once, which blew past HBM on the
     # extended-domain quotient graphs (38G requested at k=17); the linear
     # chain lets XLA free each term immediately.
     for i in range(La):
-        prod = a[..., i:i + 1] * b          # (..., Lb)
+        prod = af[..., i:i + 1] * bf        # (..., Lb)
         term = jnp.pad(jnp.broadcast_to(prod, shape + (Lb,)),
                        pad_cfg + [(i, La - i)])
         acc = term if acc is None else acc + term
-    return acc
+    return acc.astype(jnp.int32)
 
 
 def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
@@ -181,10 +187,16 @@ def fold_once(spec_fold: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """
     W = x.shape[-1]
     low, high = x[..., :CANON_LIMBS], x[..., CANON_LIMBS:]
+    # f32 dot on the MXU: int32 dot_generals fall off the MXU entirely.
+    # Precision.HIGH (3-pass bf16x3) is exact here because the fold matrix
+    # side is integer <= 255 — exactly bf16-representable, so the dropped
+    # lo*lo pass is identically zero; partial products <= 511*255 and sums
+    # < 2^24 stay f32-exact.
     folded = jax.lax.dot_general(
-        high, spec_fold[: W - CANON_LIMBS],
+        high.astype(jnp.float32), spec_fold.astype(jnp.float32)[: W - CANON_LIMBS],
         dimension_numbers=(((high.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32).astype(jnp.int32)
     return low + folded
 
 
@@ -228,8 +240,12 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul_small(spec: FieldSpec, a: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Multiply by a small constant (k < 2^13)."""
-    return partial_reduce(spec, a * jnp.int32(k), rounds=3)
+    """Multiply by a small constant (k < 2^13).
+
+    f32 multiply (exact: 511 * 2^13 < 2^24); int32 muls are slow on the VPU.
+    """
+    prod = (a.astype(jnp.float32) * jnp.float32(k)).astype(jnp.int32)
+    return partial_reduce(spec, prod, rounds=3)
 
 
 def sqr(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
