@@ -38,6 +38,30 @@ def scalars_to_digits(scalars: jnp.ndarray) -> jnp.ndarray:
     return limbs.canonical(FR, scalars)
 
 
+# Below this point count, the inclusive prefix "scan" runs as a rolled
+# sequential `lax.scan` (ONE add body to compile) instead of the unrolled
+# `associative_scan` (log2(n) inlined levels).  Runtime is irrelevant at
+# these sizes; what matters is that tiny-shape programs — the driver's
+# multi-chip CPU dry run above all — compile in seconds, not tens of
+# minutes on this 1-core host.
+_SMALL_SCAN = 256
+
+
+def _prefix_scan_points(psort, n: int):
+    """Inclusive group-law prefix scan over the leading axis."""
+    if n > _SMALL_SCAN:
+        return jax.lax.associative_scan(curve.add, psort, axis=0)
+
+    def body(carry, pt):
+        new = curve.add(carry, pt)
+        return new, new
+
+    z = psort[0][0] * 0          # identity derived from data (vma typing)
+    ident = (z, z.at[..., 0].set(1), z)
+    _, prefix = jax.lax.scan(body, ident, psort)
+    return prefix
+
+
 def _window_buckets(points_jac, digits_w):
     """Bucket sums for one window.
 
@@ -49,7 +73,7 @@ def _window_buckets(points_jac, digits_w):
     order = jnp.argsort(digits_w)
     dsort = digits_w[order]
     psort = tuple(c[order] for c in points_jac)
-    prefix = jax.lax.associative_scan(curve.add, psort, axis=0)
+    prefix = _prefix_scan_points(psort, n)
     # last occurrence of each digit value d
     ends = jnp.searchsorted(dsort, jnp.arange(NBUCKETS, dtype=dsort.dtype),
                             side="right") - 1          # (256,), -1 if none <= d
@@ -83,8 +107,11 @@ def _suffix_combine(buckets):
         acc = curve.add(acc, running)
         return running, acc
 
-    init = (curve.identity(shape), curve.identity(shape))
-    _, acc = jax.lax.fori_loop(0, NBUCKETS - 1, body, init)
+    # identity derived from the data so the carry inherits any shard_map
+    # varying-axes type (a replicated literal init fails vma typing)
+    zero = buckets[0][:, 0] * 0
+    ident = (zero, zero.at[..., 0].set(1), zero)
+    _, acc = jax.lax.fori_loop(0, NBUCKETS - 1, body, (ident, ident))
     return acc                           # (NWINDOWS,) points
 
 
@@ -102,7 +129,9 @@ def _horner_windows(window_sums):
         w_pt = tuple(c[w] for c in window_sums)
         return curve.add(acc, w_pt)
 
-    return jax.lax.fori_loop(0, NWINDOWS, body, curve.identity(()))
+    zero = window_sums[0][0] * 0
+    ident = (zero, zero.at[..., 0].set(1), zero)
+    return jax.lax.fori_loop(0, NWINDOWS, body, ident)
 
 
 @jax.jit
@@ -141,6 +170,9 @@ def msm_jacobian(points_affine: jnp.ndarray, scalars: jnp.ndarray):
     n = points_affine.shape[0]
     if n <= MSM_CHUNK:
         return _msm_jacobian_one(points_affine, scalars)
+    # host fetches are only legal outside tracing (sharded/jitted callers
+    # keep their shards <= MSM_CHUNK, so they take the one-shot path above)
+    barrier = not isinstance(points_affine, jax.core.Tracer)
     acc = None
     for off in range(0, n, MSM_CHUNK):
         p = points_affine[off:off + MSM_CHUNK]
@@ -153,7 +185,8 @@ def msm_jacobian(points_affine: jnp.ndarray, scalars: jnp.ndarray):
                 [s, jnp.zeros((pad,) + s.shape[1:], s.dtype)], axis=0)
         part = _msm_jacobian_one(p, s)
         acc = part if acc is None else _jac_add(acc, part)
-        np.asarray(acc[0][:1])      # host fetch: real in-flight barrier
+        if barrier:
+            np.asarray(acc[0][:1])  # host fetch: real in-flight barrier
     return acc
 
 

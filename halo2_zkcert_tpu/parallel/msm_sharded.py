@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import curve, limbs, msm
 
@@ -30,17 +30,25 @@ def msm_sharded(points_affine: jnp.ndarray, scalars: jnp.ndarray,
         acc = msm.msm_jacobian(points, scalars)          # tuple of (NL,)
         stacked = jnp.stack(acc)                         # (3, NL)
         allp = jax.lax.all_gather(stacked, axis)         # (D, 3, NL)
+        # rolled scan over the device axis: ONE add body in the compiled
+        # program (a static unroll inlines D of them — slow compiles), with
+        # the carry init derived from data so it inherits shard_map's
+        # varying-axes type (a replicated literal init fails vma typing)
+        z = allp[0, 0] * 0
+        ident = (z, z.at[..., 0].set(1), z)
 
-        def body(i, a):
-            p = (allp[i, 0], allp[i, 1], allp[i, 2])
-            return curve.add(a, p)
+        def body(acc, p):
+            return curve.add(acc, (p[0], p[1], p[2])), 0
 
-        out = jax.lax.fori_loop(0, allp.shape[0], body, curve.identity(()))
+        out, _ = jax.lax.scan(body, ident, allp)
         return jnp.stack(out)
 
+    # check_vma=False: the result IS replicated (every device folds the same
+    # all_gathered partials), but the rolled scan's carry defeats shard_map's
+    # replication inference (it can prove a static unroll, not a loop carry).
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis), P(axis)),
-                   out_specs=P())   # replicated result
+                   out_specs=P(), check_vma=False)   # replicated result
     res = fn(points_affine, scalars)
     return (res[0], res[1], res[2])
 
