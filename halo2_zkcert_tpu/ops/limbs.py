@@ -40,25 +40,29 @@ CANON_LIMBS = 32     # canonical width for a 254-bit modulus
 
 
 def int_to_limbs(x: int, width: int = NLIMBS) -> np.ndarray:
-    """Python int -> little-endian 8-bit limb vector (int32 numpy)."""
+    """Python int -> little-endian 8-bit limb vector (int32 numpy).
+
+    With radix-256 limbs this IS the little-endian byte expansion, so it
+    rides CPython's C-level int.to_bytes instead of a Python digit loop.
+    """
     assert x >= 0
-    out = np.zeros(width, dtype=np.int32)
-    for i in range(width):
-        out[i] = x & LIMB_MASK
-        x >>= LIMB_BITS
-    assert x == 0, "value does not fit in width limbs"
-    return out
+    return np.frombuffer(x.to_bytes(width, "little"),
+                         dtype=np.uint8).astype(np.int32)
 
 
 def limbs_to_int(a) -> int:
     """Limb vector (any laziness) -> Python int."""
     a = np.asarray(a)
+    if a.dtype == np.int32 and a.size and (a >= 0).all() and (a <= 255).all():
+        return int.from_bytes(a.astype(np.uint8).tobytes(), "little")
     return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a.tolist()))
 
 
 def ints_to_limbs(xs, width: int = NLIMBS) -> np.ndarray:
-    """Batch version: list of ints -> (N, width) int32."""
-    return np.stack([int_to_limbs(int(x), width) for x in xs])
+    """Batch version: list of ints -> (N, width) int32 via one bytes blob."""
+    blob = b"".join(int(x).to_bytes(width, "little") for x in xs)
+    return np.frombuffer(blob, dtype=np.uint8).reshape(
+        len(xs), width).astype(np.int32)
 
 
 @dataclass(frozen=True)

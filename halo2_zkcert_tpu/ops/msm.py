@@ -152,11 +152,11 @@ def _jac_add(a, b):
     return curve.add(a, b)
 
 
-# Per-program point-count cap.  The bucket pass's associative prefix scan
-# crashes the TPU worker (kernel fault / scratch exhaustion) somewhere
-# between 2^14 and 2^16 points; chunking also means ONE compiled program
-# shape serves every large MSM (compiles are minutes on this host).
-MSM_CHUNK = 1 << 14
+# Per-program point-count cap: bounds a single program's bucket/window
+# temporaries AND means one compiled shape serves every large MSM (compiles
+# are minutes on this host).  2^16 measured stable + linear-throughput with
+# the f32 kernels (the old int32 graphs crashed the worker above 2^14).
+MSM_CHUNK = 1 << 16
 
 
 def msm_jacobian(points_affine: jnp.ndarray, scalars: jnp.ndarray):

@@ -225,10 +225,46 @@ def _setup_host(k: int, tau: int) -> ParamsKZG:
     return ParamsKZG(k, g, gl, g2, rc.g2_mul_affine(g2, tau))
 
 
+def _setup_native(k: int, tau: int) -> ParamsKZG:
+    """SRS via the native runtime (native/hostmath.cpp): windowed fixed-base
+    G1 batches + Montgomery scalar batches.  ~12k points/s on this host vs
+    ~30 min for the k=17 device path (the device is better spent proving)."""
+    from .. import native
+    from .domain import Domain
+    n = 1 << k
+    g_pts = native.g1_srs(rc.G1_GEN, tau, n)
+    dom = Domain(k, 1)
+    zh = (pow(tau, n, rc.FR) - 1) % rc.FR
+    n_inv = rc.finv(n, rc.FR)
+    omega_pows = native.f_powers(native.FR_ID, dom.omega, n)
+    denom_inv = native.f_inv_batch(
+        native.FR_ID, [(tau - w) % rc.FR for w in omega_pows])
+    scale = zh * n_inv % rc.FR
+    li = native.f_mul_batch(native.FR_ID,
+                            [w * scale % rc.FR for w in omega_pows],
+                            denom_inv)
+    gl_pts = native.g1_fixed_base_many(rc.G1_GEN, li)
+
+    def pack(pts):
+        blob = b"".join(int(x).to_bytes(limbs.NLIMBS, "little") +
+                        int(y).to_bytes(limbs.NLIMBS, "little")
+                        for x, y in pts)
+        return np.frombuffer(blob, dtype=np.uint8).astype(np.int32).reshape(
+            n, 2, limbs.NLIMBS)
+
+    g2 = (rc.G2_GEN_X, rc.G2_GEN_Y)
+    return ParamsKZG(k, pack(g_pts), pack(gl_pts), g2,
+                     rc.g2_mul_affine(g2, tau))
+
+
 def setup(k: int, tau: int | None = None) -> ParamsKZG:
-    """Generate the SRS for degree 2^k (device-heavy, host-orchestrated)."""
+    """Generate the SRS for degree 2^k (native host runtime when present,
+    else device fixed-base multiexp; tiny k stays on the Python oracle)."""
     if tau is None:
         tau = _default_tau()
+    from .. import native
+    if k > 6 and native.AVAILABLE:
+        return _setup_native(k, tau)
     if k <= 10:
         return _setup_host(k, tau)
     n = 1 << k

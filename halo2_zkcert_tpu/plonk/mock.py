@@ -63,33 +63,64 @@ def run_mock(data: CircuitData, advice, instances: list,
     while len(inst) < csys.num_instance:
         inst.append(Fr.from_ints([0] * n))
 
-    def leaf_eval(e):
+    # Row-chunked evaluation: a deep gate forest evaluated eagerly over the
+    # full column height allocates one (n, NL) temporary per expression node
+    # — the aggregation tape at k=19 exhausted the 16 GB of v5e HBM that
+    # way.  Rotations wrap, so a chunk's leaves are gathered with modular
+    # row indices from the full columns; everything downstream is (C, NL).
+    CHUNK = min(n, 1 << 16)
+
+    def leaf_eval(e, off, length):
+        idx = (jnp.arange(off, off + length)) % n
+
+        def rot_take(col, r):
+            return jnp.take(col, (idx + r) % n, axis=0)
+
         return ex.evaluate(
             e,
             constant=lambda v: jnp.broadcast_to(
-                Fr.from_ints([v % rc.FR])[0][None], (n, limbs.NLIMBS)),
-            fixed=lambda i, r: jnp.roll(fixed[i], -r, axis=0),
-            advice=lambda i, r: jnp.roll(advice[i], -r, axis=0),
-            instance=lambda i, r: jnp.roll(inst[i], -r, axis=0),
+                Fr.from_ints([v % rc.FR])[0][None], (length, limbs.NLIMBS)),
+            fixed=lambda i, r: rot_take(fixed[i], r),
+            advice=lambda i, r: rot_take(advice[i], r),
+            instance=lambda i, r: rot_take(inst[i], r),
             challenge=lambda i: jnp.broadcast_to(
-                Fr.from_ints([challenges[i]])[0][None], (n, limbs.NLIMBS)),
+                Fr.from_ints([challenges[i]])[0][None],
+                (length, limbs.NLIMBS)),
             add=frops.add, mul=frops.mul,
             scale=lambda a, s: frops.mul(a, jnp.broadcast_to(
-                Fr.from_ints([s % rc.FR])[0][None], (a.shape[0], limbs.NLIMBS))),
+                Fr.from_ints([s % rc.FR])[0][None],
+                (a.shape[0], limbs.NLIMBS))),
         )
+
+    def eval_rows(e, upto):
+        """Evaluate expression over rows [0, upto) in bounded chunks,
+        fetching each chunk to host (the fetch doubles as the in-flight
+        memory barrier)."""
+        outs = []
+        for off in range(0, upto, CHUNK):
+            length = min(CHUNK, upto - off)
+            outs.append(np.asarray(leaf_eval(e, off, length)))
+        return np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
     # gates vanish on every usable row
     for name, g in csys.gates:
-        vals = leaf_eval(g)
-        zero = np.asarray(limbs.is_zero(FR, vals))
-        bad = np.where(~zero[:usable])[0]
-        for row in bad[:5]:
-            failures.append(f"gate '{name}' not satisfied at row {int(row)}")
+        bad_count = 0
+        for off in range(0, usable, CHUNK):
+            length = min(CHUNK, usable - off)
+            vals = leaf_eval(g, off, length)
+            zero = np.asarray(limbs.is_zero(FR, vals))
+            bad = np.where(~zero)[0]
+            for row in bad[:5 - bad_count]:
+                failures.append(
+                    f"gate '{name}' not satisfied at row {off + int(row)}")
+            bad_count += len(bad)
+            if bad_count >= 5:
+                break
 
     # lookups: every (theta-free) input tuple appears in the table tuple set
     for lk in csys.lookups:
-        in_cols = [np.asarray(Fr.to_ints(leaf_eval(p[0]))) for p in lk.pairs]
-        tb_cols = [np.asarray(Fr.to_ints(leaf_eval(p[1]))) for p in lk.pairs]
+        in_cols = [Fr.to_ints(eval_rows(p[0], usable)) for p in lk.pairs]
+        tb_cols = [Fr.to_ints(eval_rows(p[1], usable)) for p in lk.pairs]
         table = set(tuple(int(c[r]) for c in tb_cols) for r in range(usable))
         for r in range(usable):
             tup = tuple(int(c[r]) for c in in_cols)

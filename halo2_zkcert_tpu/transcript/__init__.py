@@ -23,6 +23,15 @@ from ..utils import refcrypto as rc
 from . import poseidon as _poseidon
 from .poseidon import PoseidonSponge, permute, poseidon_constants
 
+
+def _keccak(data: bytes) -> bytes:
+    """keccak256 via the native runtime when present (tested against the
+    pure-Python reference in refcrypto)."""
+    from .. import native
+    if native.AVAILABLE:
+        return native.keccak256(data)
+    return rc.keccak256(data)
+
 # Fq-over-Fr limb decomposition for point absorption & accumulator
 # exposure.  The reference uses halo2-ecc's CRT width LIMBS=3, BITS=88
 # [dep Cargo.lock:2714]; this framework's non-native arithmetic is the
@@ -127,7 +136,7 @@ class KeccakTranscript:
     def squeeze_challenge(self) -> int:
         # domain-separate squeezes with a trailing 0x01 byte, as the EVM
         # verifier can cheaply reproduce with MSTORE8
-        digest = rc.keccak256(bytes(self.hbuf) + b"\x01")
+        digest = _keccak(bytes(self.hbuf) + b"\x01")
         c = int.from_bytes(digest, "big") % rc.FR
         self.hbuf = bytearray(int(c).to_bytes(32, "big"))
         return c

@@ -133,7 +133,15 @@ def permute(state: list, modulus: int = rc.FR) -> list:
 
     Full rounds: add-constants, sbox all, MDS.  Partial: sbox lane 0 only.
     Algebraically equal to the PSE crate's "optimized" evaluation.
+
+    Dispatches to the native C++ permutation (native/hostmath.cpp, ~15x)
+    when available; this Python body remains the golden reference the
+    native path is tested against (tests/test_native.py).
     """
+    if modulus == rc.FR:
+        from .. import native
+        if native.AVAILABLE:
+            return native.poseidon_permute(state)
     p = modulus
     rcs, mds = poseidon_constants(p)
     s = list(state)

@@ -614,6 +614,8 @@ def _keccak_f(state):
 
 
 def keccak256(data: bytes) -> bytes:
+    # pure-Python golden reference; perf paths use native.keccak256
+    # (native/hostmath.cpp), which is tested against this implementation.
     rate = 136
     state = [[0] * 5 for _ in range(5)]
     # pad10*1 with 0x01 domain byte (Keccak, not SHA3's 0x06)
