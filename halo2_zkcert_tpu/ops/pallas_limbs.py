@@ -1,0 +1,243 @@
+"""Pallas-fused limb arithmetic: field mul and the full RCB16 point add.
+
+Why a kernel at all: the XLA path lowers each field mul to an unrolled
+33-step shift-add with HBM-materialized temporaries between the 12 muls of a
+point add — measured ~67 ms for a 2^17 add batch, ~50x above the VPU
+roofline.  Fusing one whole group-law add into a single kernel keeps every
+intermediate in VMEM: HBM traffic drops to the 9 input/output coordinate
+planes (~1.2 KB/point).
+
+Layout (pallas_guide.md "Tiling Constraints"): limb-major blocks — limbs on
+the sublane axis (33 -> padded 40 rows), batch on the lane axis (128-lane
+tiles).  Batch-major (N, 33) would waste 74% of every lane tile.
+
+Arithmetic is pure f32 on the VPU (TPUs have no fast int32 multiply):
+  * conv:   33 shift-add FMA steps; products and per-coefficient sums stay
+            < 2^23 (f32-exact).
+  * carry:  hi = floor(x * 2^-8) — exact below 2^24.
+  * fold:   rows >= 32 fold down with limbs(2^(8(32+j)) mod p) by shift-add
+            broadcast (40 FMA steps); inputs are carried first so every
+            product is <= 511*255 and sums < 2^23.
+Bounds mirror ops/limbs.py `partial_reduce` (carry3 -> fold -> ... chain);
+outputs are in the same resident class (33 limbs <= 511, value < 2^259).
+
+Reference behavior being accelerated: halo2curves' native Montgomery field
+[dep Cargo.lock:1359] under halo2_proofs' `best_multiexp` [dep
+Cargo.lock:1320]; the group law is RCB16 (eprint 2015/1060 Alg 7), identical
+to ops/curve.py.
+"""
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import limbs
+
+NL = limbs.NLIMBS          # 33
+ROWS = 40                  # padded limb rows (= FieldSpec.FOLD_ROWS)
+LANES = 512                # batch lanes per block (4 lane-tiles)
+
+_INV256 = np.float32(1.0 / 256.0)
+
+
+def _carry3(x):
+    """Three carry-relaxation passes; keeps values in-place (ROWS, B)."""
+    for _ in range(3):
+        hi = jnp.floor(x * _INV256)
+        lo = x - hi * 256.0
+        x = lo + jnp.concatenate(
+            [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+    return x
+
+
+def _fold(x, fold_rows, nrows: int):
+    """Fold rows 32..32+nrows-1 down mod p (shift-add broadcast; fold_rows
+    (40, 32) f32 constant).  Input limbs <= 511 (f32-exact products).
+    Output (ROWS, B) with rows >= 32 zero."""
+    zeros_hi = jnp.zeros_like(x[:ROWS - 32])
+    acc = jnp.concatenate([x[:32], zeros_hi], axis=0)
+    for j in range(nrows):
+        src = 32 + j
+        if src >= x.shape[0]:
+            break
+        contrib = x[src:src + 1] * fold_rows[j][:, None]        # (32, B)
+        acc = acc + jnp.concatenate([contrib, zeros_hi], axis=0)
+    return acc
+
+
+def _reduce_full(x, fold_rows):
+    """conv output (< 2^23 coeffs, rows 0..65 live in a (2*ROWS, B) buf)
+    -> resident (ROWS, B), rows >= 32 zero.
+
+    Mirrors limbs.partial_reduce's carry3 -> [fold -> carry3]*rounds chain,
+    whose convergence to exact zeros above row 31 is verified numerically
+    in tests (the first fold spans all 40 high rows; later folds only see
+    the <= 3 carry rows the previous carry pass produced)."""
+    for _ in range(3):
+        hi = jnp.floor(x * _INV256)
+        lo = x - hi * 256.0
+        x = lo + jnp.concatenate(
+            [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+    x = _fold(x, fold_rows, ROWS)                                # (40, B)
+    for _ in range(5):
+        x = _carry3(x)
+        x = _fold(x, fold_rows, 3)
+    return _carry3(x)
+
+
+def _reduce_small(x, fold_rows):
+    """Resident-sum reduction (inputs <= ~2^13 per limb): add/sub/small.
+    Mirrors partial_reduce(rounds=3): rows >= 33 end exactly zero; row 32
+    may hold a small residue (the resident class allows it)."""
+    x = _carry3(x)
+    for _ in range(3):
+        x = _fold(x, fold_rows, 3)
+        x = _carry3(x)
+    return x
+
+
+def _mk_ops(fold_rows, sub_pad):
+    """In-kernel field ops over (ROWS, B) f32 planes (resident class)."""
+
+    def mul(a, b):
+        B = a.shape[1]
+        acc = jnp.zeros((2 * ROWS, B), jnp.float32)
+        for i in range(NL):
+            term = a[i:i + 1] * b                                # (40, B)
+            acc = acc + jnp.pad(term, ((i, 2 * ROWS - ROWS - i), (0, 0)))
+        return _reduce_full(acc, fold_rows)
+
+    def add(a, b):
+        return _reduce_small(a + b, fold_rows)
+
+    def sub(a, b):
+        return _reduce_small(a + (sub_pad[:, None] - b), fold_rows)
+
+    def small(a, k):
+        return _reduce_small(a * np.float32(k), fold_rows)
+
+    return mul, add, sub, small
+
+
+B3 = 9
+
+
+def _rcb16_add_kernel(fold_ref, pad_ref, x1_ref, y1_ref, z1_ref,
+                      x2_ref, y2_ref, z2_ref, ox_ref, oy_ref, oz_ref):
+    """Complete projective add (RCB16 Alg 7, a=0, b3=9): 12M straight-line,
+    everything in VMEM."""
+    mul, add, sub, small = _mk_ops(fold_ref[:], pad_ref[:])
+    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+    X2, Y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(Y1, Z1), add(Y2, Z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mul(add(X1, Z1), add(X2, Z2))
+    Y3 = sub(X3, add(t0, t2))
+    t0 = small(t0, 3)
+    t2 = small(t2, B3)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = small(Y3, B3)
+    X3o = sub(mul(t3, t1), mul(t4, Y3))
+    Y3o = add(mul(t1, Z3), mul(Y3, t0))
+    Z3o = add(mul(Z3, t4), mul(t0, t3))
+    ox_ref[:] = X3o
+    oy_ref[:] = Y3o
+    oz_ref[:] = Z3o
+
+
+def _mul_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
+    mul, _, _, _ = _mk_ops(fold_ref[:], pad_ref[:])
+    o_ref[:] = mul(a_ref[:], b_ref[:])
+
+
+@lru_cache(maxsize=4)
+def _consts(modulus: int):
+    from .field import FQ, FR
+    spec = FQ if modulus == FQ.modulus else FR
+    fold = np.zeros((ROWS, 32), np.float32)
+    fold[:spec.FOLD_ROWS] = spec.fold_mat.astype(np.float32)
+    pad = np.zeros(ROWS, np.float32)
+    pad[:NL] = spec.sub_pad.astype(np.float32)
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(fold), jnp.asarray(pad)
+
+
+def _to_planes(arr):
+    """(N, NL) int32 -> (ROWS, N) f32 limb-major planes."""
+    x = arr.astype(jnp.float32).T                                # (NL, N)
+    return jnp.pad(x, ((0, ROWS - NL), (0, 0)))
+
+
+def _from_planes(x):
+    """(ROWS, N) f32 -> (N, NL) int32."""
+    return x[:NL].T.astype(jnp.int32)
+
+
+def _pad_lanes(x, n):
+    pad = (-n) % LANES
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x, n + pad
+
+
+_INTERPRET = bool(os.environ.get("H2T_PALLAS_INTERPRET"))
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_point_add(P, Q, modulus: int):
+    """Batched RCB16 add: P, Q tuples of (N, NL) int32 -> same."""
+    fold, pad_c = _consts(modulus)
+    n = P[0].shape[0]
+    planes = [_pad_lanes(_to_planes(c), n)[0] for c in (*P, *Q)]
+    npad = planes[0].shape[1]
+    grid = npad // LANES
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _rcb16_add_kernel,
+        grid=(grid,),
+        in_specs=[cspec, pspec] + [spec] * 6,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, npad), jnp.float32)] * 3,
+        interpret=_INTERPRET,
+    )(fold, pad_c, *planes)
+    return tuple(_from_planes(o)[:n] for o in out)
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_mul(a, b, modulus: int):
+    """Batched field mul: (N, NL) x (N, NL) int32 -> (N, NL) resident."""
+    fold, pad_c = _consts(modulus)
+    n = a.shape[0]
+    ap, npad = _pad_lanes(_to_planes(a), n)
+    bp, _ = _pad_lanes(_to_planes(b), n)
+    grid = npad // LANES
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _mul_kernel,
+        grid=(grid,),
+        in_specs=[cspec, pspec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((ROWS, npad), jnp.float32),
+        interpret=_INTERPRET,
+    )(fold, pad_c, ap, bp)
+    return _from_planes(out)[:n]
