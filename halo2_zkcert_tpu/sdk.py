@@ -190,11 +190,9 @@ def gen_evm_verifier(params: ParamsKZG, vk: VerifyingKey,
 
 def evm_verify(params: ParamsKZG, vk: VerifyingKey, instances,
                proof: bytes) -> bool:
-    """Run the *same program the contract encodes* (reference `evm_verify`
-    deploys into revm, cli.rs:524; no EVM runtime exists here, so the IR
-    executor stands in — SURVEY.md §2b revm row)."""
-    from .evm import build_verifier_ir, execute_ir
-    ops, plen = build_verifier_ir(vk, [len(c) for c in instances])
-    if plen != len(proof):
-        return False
-    return execute_ir(ops, instances, proof, params)
+    """Deploy the generated verifier bytecode into the in-process EVM and
+    call it with `instances ++ proof` calldata (reference `evm_verify`
+    deploys into revm, cli.rs:524; interp.Evm plays revm's role)."""
+    from .evm import evm_verify_bytecode
+    accepted, _gas = evm_verify_bytecode(params, vk, instances, proof)
+    return accepted
