@@ -87,7 +87,18 @@ B3 = 9   # 3*b for y^2 = x^3 + 3
 
 
 def double(P) -> tuple:
-    """RCB16 Algorithm 9 (complete, a=0): 6M + 2 small."""
+    """RCB16 Algorithm 9 (complete, a=0): 6M + 2 small.
+
+    Large batches dispatch to the Pallas-fused kernel like `add`."""
+    if (_pallas_wanted()
+            and P[0].ndim >= 2
+            and int(np.prod(P[0].shape[:-1])) >= _PALLAS_MIN_BATCH):
+        from . import pallas_limbs
+        shape = P[0].shape
+        flat = lambda c: c.reshape(-1, shape[-1])
+        out = pallas_limbs.fused_point_double(
+            tuple(flat(c) for c in P), FQ.modulus)
+        return tuple(c.reshape(shape) for c in out)
     X, Y, Z = P
     t0 = _sqr(Y)
     Z3 = _small(t0, 8)
@@ -113,7 +124,10 @@ def _sel(cond, a, b):
 
 import os as _os
 
-_PALLAS_MIN_BATCH = 1024
+# One (40, 512)-block kernel shape serves every batch >= this via lane
+# padding; small widths through Pallas also keep scan/loop XLA graphs tiny
+# (the unrolled XLA add at width<1024 dominated MSM compile times).
+_PALLAS_MIN_BATCH = 128
 _pallas_mode = _os.environ.get("H2T_PALLAS", "auto")
 
 

@@ -221,13 +221,52 @@ def partial_reduce(spec: FieldSpec, x: jnp.ndarray, rounds: int = 5) -> jnp.ndar
     return x[..., :NLIMBS]
 
 
+import os as _os
+
+_PALLAS_MIN = 128
+_pallas_env = _os.environ.get("H2T_PALLAS", "auto")
+
+
+def _pallas_route(spec: FieldSpec, a, b, which: str):
+    """Dispatch an elementwise binary field op to the fused Pallas kernel
+    when profitable: TPU backend (or H2T_PALLAS=1), BN254 Fq/Fr, resident
+    (..., NLIMBS) operands, batch >= _PALLAS_MIN.  Returns None to fall
+    back to the XLA path.  One kernel shape serves every batch size (lanes
+    pad to the block width), which also keeps XLA graph sizes small inside
+    scans/loops."""
+    if _pallas_env == "0":
+        return None
+    if _pallas_env != "1" and jax.default_backend() != "tpu":
+        return None
+    if a.shape[-1] != NLIMBS or b.shape[-1] != NLIMBS:
+        return None
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    n = int(np.prod(shape)) if shape else 1
+    if n < _PALLAS_MIN:
+        return None
+    from . import pallas_limbs
+    if spec.modulus not in pallas_limbs.SUPPORTED_MODULI:
+        return None
+    af = jnp.broadcast_to(a, shape + (NLIMBS,)).reshape(-1, NLIMBS)
+    bf = jnp.broadcast_to(b, shape + (NLIMBS,)).reshape(-1, NLIMBS)
+    fn = {"mul": pallas_limbs.fused_mul, "add": pallas_limbs.fused_add,
+          "sub": pallas_limbs.fused_sub}[which]
+    return fn(af, bf, spec.modulus).reshape(shape + (NLIMBS,))
+
+
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular add on resident values."""
+    out = _pallas_route(spec, a, b, "add")
+    if out is not None:
+        return out
     return partial_reduce(spec, a + b, rounds=3)
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular subtract: a + (K*p - b), branch-free and nonnegative limbwise."""
+    out = _pallas_route(spec, a, b, "sub")
+    if out is not None:
+        return out
     pad = jnp.asarray(spec.sub_pad)
     return partial_reduce(spec, a + (pad - b), rounds=3)
 
@@ -239,6 +278,9 @@ def neg(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Modular multiply on resident values."""
+    out = _pallas_route(spec, a, b, "mul")
+    if out is not None:
+        return out
     prod = conv_mul(a, b)
     return partial_reduce(spec, prod, rounds=6)
 

@@ -162,6 +162,51 @@ def _mul_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
     o_ref[:] = mul(a_ref[:], b_ref[:])
 
 
+def _add_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
+    _, add, _, _ = _mk_ops(fold_ref[:], pad_ref[:])
+    o_ref[:] = add(a_ref[:], b_ref[:])
+
+
+def _sub_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
+    _, _, sub, _ = _mk_ops(fold_ref[:], pad_ref[:])
+    o_ref[:] = sub(a_ref[:], b_ref[:])
+
+
+def _rcb16_dbl_kernel(fold_ref, pad_ref, x_ref, y_ref, z_ref,
+                      ox_ref, oy_ref, oz_ref):
+    """Complete projective double (RCB16 Alg 9, a=0, b3=9): 6M+2S."""
+    mul, add, sub, small = _mk_ops(fold_ref[:], pad_ref[:])
+    X, Y, Z = x_ref[:], y_ref[:], z_ref[:]
+    t0 = mul(Y, Y)
+    Z3 = small(t0, 8)
+    t1 = mul(Y, Z)
+    t2 = small(mul(Z, Z), B3)
+    X3 = mul(t2, Z3)
+    Y3 = add(t0, t2)
+    Z3 = mul(t1, Z3)
+    t2 = small(t2, 3)
+    t0 = sub(t0, t2)
+    Y3 = mul(t0, Y3)
+    Y3 = add(X3, Y3)
+    t1 = mul(X, Y)
+    X3 = small(mul(t0, t1), 2)
+    ox_ref[:] = X3
+    oy_ref[:] = Y3
+    oz_ref[:] = Z3
+
+
+@lru_cache(maxsize=1)
+def _supported():
+    from .field import FQ, FR
+    return {FQ.modulus, FR.modulus}
+
+
+def __getattr__(name):
+    if name == "SUPPORTED_MODULI":
+        return _supported()
+    raise AttributeError(name)
+
+
 @lru_cache(maxsize=4)
 def _consts(modulus: int):
     from .field import FQ, FR
@@ -219,9 +264,8 @@ def fused_point_add(P, Q, modulus: int):
     return tuple(_from_planes(o)[:n] for o in out)
 
 
-@partial(jax.jit, static_argnames=("modulus",))
-def fused_mul(a, b, modulus: int):
-    """Batched field mul: (N, NL) x (N, NL) int32 -> (N, NL) resident."""
+def _binary_call(kernel, a, b, modulus: int):
+    """Shared driver for elementwise binary field kernels on (N, NL)."""
     fold, pad_c = _consts(modulus)
     n = a.shape[0]
     ap, npad = _pad_lanes(_to_planes(a), n)
@@ -233,7 +277,7 @@ def fused_mul(a, b, modulus: int):
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _mul_kernel,
+        kernel,
         grid=(grid,),
         in_specs=[cspec, pspec, spec, spec],
         out_specs=spec,
@@ -241,3 +285,43 @@ def fused_mul(a, b, modulus: int):
         interpret=_INTERPRET,
     )(fold, pad_c, ap, bp)
     return _from_planes(out)[:n]
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_mul(a, b, modulus: int):
+    """Batched field mul: (N, NL) x (N, NL) int32 -> (N, NL) resident."""
+    return _binary_call(_mul_kernel, a, b, modulus)
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_add(a, b, modulus: int):
+    return _binary_call(_add_kernel, a, b, modulus)
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_sub(a, b, modulus: int):
+    return _binary_call(_sub_kernel, a, b, modulus)
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_point_double(P, modulus: int):
+    """Batched RCB16 double: P tuple of (N, NL) int32 -> same."""
+    fold, pad_c = _consts(modulus)
+    n = P[0].shape[0]
+    planes = [_pad_lanes(_to_planes(c), n)[0] for c in P]
+    npad = planes[0].shape[1]
+    grid = npad // LANES
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _rcb16_dbl_kernel,
+        grid=(grid,),
+        in_specs=[cspec, pspec] + [spec] * 3,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, npad), jnp.float32)] * 3,
+        interpret=_INTERPRET,
+    )(fold, pad_c, *planes)
+    return tuple(_from_planes(o)[:n] for o in out)

@@ -123,6 +123,18 @@ class ParamsKZG:
     def commit_lagrange(self, values: jnp.ndarray):
         return commit_many_lagrange(self, values[None])[0]
 
+    def fixed_base(self, lagrange: bool):
+        """Lazily built flat-Pippenger tables for one SRS basis
+        (ops/msm_fb.py); cached on the params object."""
+        from ..ops.msm_fb import FixedBaseMsm
+        attr = "_fb_lagrange" if lagrange else "_fb_monomial"
+        fb = self.__dict__.get(attr)
+        if fb is None:
+            base = self.g_lagrange if lagrange else self.g
+            fb = FixedBaseMsm(jnp.asarray(base))
+            self.__dict__[attr] = fb
+        return fb
+
     # ---- serialization -------------------------------------------------------
 
     def write(self, path: str) -> None:
@@ -318,6 +330,33 @@ def _to_affine_batch(stacked):
     return curve.to_affine((stacked[:, 0], stacked[:, 1], stacked[:, 2]))
 
 
+# Fixed-base (flat Pippenger) commit path: table precompute pays off on
+# real hardware at prover sizes; tiny test domains keep the variable-base
+# kernels (H2T_FB_MSM=1/0 forces either way).
+_FB_MIN_N = 4096
+_fb_env = os.environ.get("H2T_FB_MSM", "auto")
+
+
+def _fb_wanted(n: int) -> bool:
+    if _fb_env == "0":
+        return False
+    if _fb_env == "1":
+        return True
+    return jax.default_backend() == "tpu" and n >= _FB_MIN_N
+
+
+def _fb_commit(fb, cols) -> list:
+    if not isinstance(cols, jnp.ndarray):
+        if not len(cols):
+            return []
+        cols = jnp.stack(list(cols))
+    if cols.shape[0] == 0:
+        return []
+    accs = fb.msm_many(cols)                        # (m, 3, NL) projective
+    aff = np.asarray(_to_affine_batch(accs))
+    return _affine_batch_to_ints(aff)
+
+
 def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
     """Async msm_jacobian dispatches (bounded pipeline) + ONE batched
     affine fetch.
@@ -349,6 +388,8 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
 def commit_many_lagrange(params: ParamsKZG, cols) -> list:
     """Batch-commit Lagrange columns (reference: per-column commit loop
     [dep]; here per-point fetches are collapsed into one)."""
+    if _fb_wanted(params.n):
+        return _fb_commit(params.fixed_base(lagrange=True), cols)
     return _commit_batch(jnp.asarray(params.g_lagrange), cols)
 
 
@@ -361,4 +402,6 @@ def commit_many(params: ParamsKZG, polys) -> list:
     if polys.shape[0] == 0:
         return []
     deg = polys.shape[1]
+    if deg == params.n and _fb_wanted(params.n):
+        return _fb_commit(params.fixed_base(lagrange=False), polys)
     return _commit_batch(jnp.asarray(params.g[:deg]), polys)

@@ -685,6 +685,19 @@ def _quotient_fn(pk: ProvingKey):
 
     pointwise_jit = jax.jit(pointwise)
 
+    # Pallas-fused pointwise program (generic expression forests): keeps
+    # every intermediate in VMEM — the XLA path above materializes each of
+    # ~70 ext-domain field ops in HBM (tens of GB of traffic, OOM at k=17).
+    qp = None
+    if pk.__dict__.get("quotient_custom") is None:
+        from ..ops.curve import _pallas_wanted
+        if _pallas_wanted():
+            from .quotient_pallas import QuotientPallas
+            aux = {"l0": l0_ext_c, "llast": llast_ext_c,
+                   "lblind": lblind_ext_c, "ident": ident_ext_c,
+                   "zh_inv": zh_inv}
+            qp = QuotientPallas(pk, dom, aux, fixed_ext, sigma_ext)
+
     def run(adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal):
         def stack_or_zero(x, m=n):
             return x if x.shape[0] else jnp.zeros((0, m, NL), jnp.int32)
@@ -710,10 +723,14 @@ def _quotient_fn(pk: ProvingKey):
         lka_ext = ext_all[o:o + nl_]; o += nl_
         lks_ext = ext_all[o:o + nl_]
 
-        h_values = pointwise_jit(col_ext, permz_ext, lkz_ext, lka_ext,
-                                 lks_ext, chal, fixed_ext, sigma_ext,
-                                 l0_ext_c, llast_ext_c, lblind_ext_c,
-                                 ident_ext_c, zh_inv)
+        if qp is not None:
+            h_values = qp(col_ext, permz_ext, lkz_ext, lka_ext, lks_ext,
+                          chal)
+        else:
+            h_values = pointwise_jit(col_ext, permz_ext, lkz_ext, lka_ext,
+                                     lks_ext, chal, fixed_ext, sigma_ext,
+                                     l0_ext_c, llast_ext_c, lblind_ext_c,
+                                     ident_ext_c, zh_inv)
         h_pieces = _ext2coeff_pieces(h_values, dom.extended_k,
                                      dom.g_coset_inv, (qd, n))
         return (h_pieces, adv_coeff, permz_coeff,
