@@ -124,10 +124,12 @@ def _sel(cond, a, b):
 
 import os as _os
 
-# One (40, 512)-block kernel shape serves every batch >= this via lane
-# padding; small widths through Pallas also keep scan/loop XLA graphs tiny
-# (the unrolled XLA add at width<1024 dominated MSM compile times).
-_PALLAS_MIN_BATCH = 128
+# One (40, 512)-block kernel shape serves every batch via lane padding, so
+# on TPU the group law is ALWAYS the fused kernel: small widths through
+# Pallas keep scan/loop graphs tiny (the unrolled XLA add at width<1024
+# dominated MSM compile times) and make eager per-level scans one dispatch
+# per add instead of ~100 tiny ops.
+_PALLAS_MIN_BATCH = 1
 _pallas_mode = _os.environ.get("H2T_PALLAS", "auto")
 
 
@@ -204,15 +206,17 @@ def scalar_mul(P, scalar_digits: jnp.ndarray) -> tuple:
 def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery batch inversion over the leading axis: one Fermat inversion
     + prefix/suffix product scans. a: (N, NLIMBS) nonzero (0 -> garbage/0)."""
-    mulf = partial(limbs.mul, FQ)
-    prefix = jax.lax.associative_scan(mulf, a, axis=0)
-    suffix = jax.lax.associative_scan(mulf, a, axis=0, reverse=True)
+    from . import scan as scanmod
+    mul1 = lambda x, y: (limbs.mul(FQ, x[0], y[0]),)
+    one1 = lambda: (jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1),)
+    prefix = scanmod.prefix_scan(mul1, one1, (a,))[0]
+    suffix = scanmod.suffix_scan(mul1, one1, (a,))[0]
     total_inv = limbs.inv(FQ, prefix[-1])
     n = a.shape[0]
     one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
     pre = jnp.concatenate([one, prefix[:-1]], axis=0)
     suf = jnp.concatenate([suffix[1:], one], axis=0)
-    return mulf(mulf(pre, suf), jnp.broadcast_to(total_inv, a.shape))
+    return _mul(_mul(pre, suf), jnp.broadcast_to(total_inv, a.shape))
 
 
 def to_affine(P) -> jnp.ndarray:

@@ -18,7 +18,26 @@ import jax.numpy as jnp
 
 from ..utils import refcrypto as rc
 from . import limbs
+from . import scan as scanmod
 from .field import FR, Fr
+
+
+def _one1():
+    return (jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1),)
+
+
+def _zero1():
+    return (jnp.zeros((1, NL), jnp.int32),)
+
+
+def _mul1(a, b):
+    return (limbs.mul(FR, a[0], b[0]),)
+
+
+def _scan_mul(a):
+    """Grid prefix scan under field mul (see ops/scan.py: associative_scan
+    is a compile/HBM trap for expensive monoids)."""
+    return scanmod.prefix_scan(_mul1, _one1, (a,))[0]
 
 NL = limbs.NLIMBS
 
@@ -30,7 +49,7 @@ def _mul(a, b):
 @jax.jit
 def prefix_product(a: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix product over axis 0: out[i] = prod_{j<=i} a[j]."""
-    return jax.lax.associative_scan(_mul, a, axis=0)
+    return _scan_mul(a)
 
 
 @jax.jit
@@ -40,8 +59,8 @@ def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
     a: (N, NL) with nonzero entries (zero entries produce garbage — caller
     guarantees nonzero, as halo2 does for permutation denominators).
     """
-    prefix = jax.lax.associative_scan(_mul, a, axis=0)
-    suffix = jax.lax.associative_scan(_mul, a, axis=0, reverse=True)
+    prefix = _scan_mul(a)
+    suffix = scanmod.suffix_scan(_mul1, _one1, (a,))[0]
     total_inv = limbs.inv(FR, prefix[-1])
     one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
     pre = jnp.concatenate([one, prefix[:-1]], axis=0)
@@ -54,7 +73,7 @@ def powers(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """(NL,) element -> (n, NL) table [1, x, x^2, ..., x^(n-1)] via log-depth scan."""
     xs = jnp.broadcast_to(x[None], (n, NL))
     one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
-    scan = jax.lax.associative_scan(_mul, xs, axis=0)     # x, x^2, ..., x^n
+    scan = _scan_mul(xs)                                  # x, x^2, ..., x^n
     return jnp.concatenate([one, scan[:-1]], axis=0)
 
 
@@ -95,7 +114,8 @@ def poly_divide_linear(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     n = coeffs.shape[0]
     pw = powers(z, n)                       # z^0 .. z^(n-1)
     s = _mul(coeffs, pw)                    # a_j z^j
-    suffix = jax.lax.associative_scan(_mul_free_add, s, axis=0, reverse=True)
+    suffix = scanmod.suffix_scan(
+        lambda x, y: (_mul_free_add(x[0], y[0]),), _zero1, (s,))[0]
     # suffix[i] = sum_{j >= i} a_j z^j (lazy limbs; reduce now)
     suffix = limbs.partial_reduce(FR, suffix, rounds=3)
     tail = jnp.concatenate([suffix[1:], jnp.zeros((1, NL), jnp.int32)], axis=0)

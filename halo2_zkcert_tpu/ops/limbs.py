@@ -311,8 +311,11 @@ def _table_carry(x: jnp.ndarray) -> jnp.ndarray:
     t = jnp.stack([(x + c) >> LIMB_BITS for c in range(3)], axis=-1)
 
     def compose(f, g):
-        # apply f (lower limbs) first, then g
-        return jnp.take_along_axis(g, f, axis=-1)
+        # apply f (lower limbs) first, then g: out[c] = g[f[c]].  Selects,
+        # not take_along_axis — XLA pads that gather to (…,8,128) tiles per
+        # index (42x expansion: a 2M-point batch asked for 16 GB of HBM)
+        g0, g1, g2 = g[..., 0:1], g[..., 1:2], g[..., 2:3]
+        return jnp.where(f == 0, g0, jnp.where(f == 1, g1, g2))
 
     composed = jax.lax.associative_scan(compose, t, axis=-2)
     carry_out = composed[..., 0]                     # (..., W): carry out of i
@@ -406,6 +409,17 @@ def pow_const(spec: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     """
     if e == 0:
         return jnp.zeros(a.shape, jnp.int32).at[..., 0].set(1)
+    # tiny batches: tile up to the Pallas width so each loop iteration is
+    # 2 fused kernels instead of ~100 tiny XLA ops (a single-element
+    # Fermat inversion measured ~13 s at batch=1, ~40 ms tiled)
+    shape = a.shape
+    n = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    if n < _PALLAS_MIN and _pallas_env != "0" \
+            and (jax.default_backend() == "tpu" or _pallas_env == "1"):
+        flat = a.reshape(-1, NLIMBS)
+        reps = -(-_PALLAS_MIN // n)
+        tiled = jnp.tile(flat, (reps, 1))
+        return pow_const(spec, tiled, e)[:n].reshape(shape)
     nbits = e.bit_length()
     bits = jnp.asarray([(e >> i) & 1 for i in range(nbits)], dtype=jnp.int32)
     one = jnp.zeros(a.shape, jnp.int32).at[..., 0].set(1)

@@ -14,14 +14,19 @@ TPU-first redesign exploiting fixed bases:
 * an MSM then has NO window structure at all: it is one flat bucket
   accumulation over the NWIN*N (digit, table-point) pairs — halving the
   scan work vs 8-bit windows and deleting the Horner doubling chain;
-* bucket accumulation per chunk: argsort by digit, gather points, ONE wide
-  inclusive `associative_scan` with the complete group law (Pallas-fused
-  adds), segment-boundary differences -> 2^wbits bucket partials, added
-  across chunks (wide batched adds);
+* bucket accumulation per chunk: argsort by digit, gather points, one
+  work-efficient odd-even prefix scan with the complete group law
+  (Pallas-fused adds), segment-boundary differences -> 2^wbits bucket
+  partials, added across chunks (wide batched adds);
 * final  sum_d d * B_d  =  sum_{d>=1} S_d  where S is the reverse suffix
-  scan of the buckets — one more wide scan plus a log-depth pairwise
-  reduction tree.  No sequential narrow phase anywhere: every step is a
-  wide batched op or log-depth.
+  scan of the buckets — one more scan plus a log-depth reduction tree.
+
+Compile-time discipline (this host compiles XLA at ~1 core): the scans run
+EAGERLY level by level — each level is one fused Pallas add at a power-of-2
+width, a small program reused across chunks/columns/proofs and persisted in
+the compile cache.  A single monolithic `associative_scan` jit at 2^19 sat
+in `backend_compile_and_load` for >10 minutes; this formulation compiles in
+seconds and pays only ~2 dispatches per level at runtime.
 
 Scalars with digit 0 land in bucket 0, which is discarded — so zero
 padding rows (chunked callers) contribute nothing by construction.
@@ -38,7 +43,7 @@ from . import curve, limbs, msm
 
 NL = limbs.NLIMBS
 
-# flat (window, point) pairs processed per sort+scan program
+# flat (window, point) pairs processed per sort+scan round
 CHUNK = 1 << 19
 
 
@@ -55,14 +60,12 @@ def _digits(scalars: jnp.ndarray, wbits: int) -> jnp.ndarray:
 def build_tables(base_affine, wbits: int) -> jnp.ndarray:
     """(N, 2, NL) affine int32 -> (NWIN*N, 2, NL) uint8 window tables.
 
-    T[w] = 2^(wbits*w) * base, computed with `wbits` batched complete
-    doublings per window step (Pallas kernels on TPU) + one batched affine
-    normalization each.
-    """
+    T[w] = 2^(wbits*w) * base: `wbits` batched complete doublings per
+    window step (Pallas kernels on TPU), all windows kept projective, then
+    ONE batched affine normalization at the end — per-window `to_affine`
+    paid an eager 2^17-wide inversion scan 15 times (~14 s each)."""
     nwin = 256 // wbits
     n = base_affine.shape[0]
-    tables = np.zeros((nwin, n, 2, NL), np.uint8)
-    tables[0] = np.asarray(base_affine, dtype=np.int32).astype(np.uint8)
     P = curve.from_affine(jnp.asarray(base_affine, dtype=jnp.int32))
 
     @jax.jit
@@ -71,61 +74,71 @@ def build_tables(base_affine, wbits: int) -> jnp.ndarray:
             P = curve.double(P)
         return P
 
+    windows = [P]
     for w in range(1, nwin):
         P = shift(P)
-        aff = np.asarray(curve.to_affine(P))             # canonical limbs
-        tables[w] = aff.astype(np.uint8)
-        P = curve.from_affine(jnp.asarray(aff))
-    return jnp.asarray(tables.reshape(nwin * n, 2, NL))
+        windows.append(P)
+    stacked = tuple(jnp.concatenate([wv[c] for wv in windows], axis=0)
+                    for c in range(3))
+    aff = np.asarray(curve.to_affine(stacked))           # canonical limbs
+    return jnp.asarray(aff.astype(np.uint8))
 
 
-@partial(jax.jit, static_argnames=("nchunks", "chunk", "wbits"))
-def _bucket_partials(table_flat: jnp.ndarray, digits_flat: jnp.ndarray,
-                     nchunks: int, chunk: int, wbits: int):
-    """Accumulate all (digit, point) pairs into 2^wbits buckets.
+def load_or_build_tables(base_affine, wbits: int,
+                         cache_path: str | None) -> jnp.ndarray:
+    """Disk-cached table build (files live next to the SRS cache, mirroring
+    the reference's PARAMS_DIR artifact pattern, SURVEY.md §5)."""
+    import os
+    if cache_path and os.path.exists(cache_path):
+        return jnp.asarray(np.load(cache_path))
+    t = build_tables(base_affine, wbits)
+    if cache_path:
+        np.save(cache_path, np.asarray(t))
+    return t
 
-    table_flat: (NWIN*N, 2, NL) uint8; digits_flat: (NWIN*N,) int32.
-    Runs `nchunks` sort+scan rounds inside one jit (sequential, bounded
-    memory); bucket partial sums are combined with wide adds.
-    """
+
+def scan_points(P):
+    """Inclusive prefix scan under the group law (grid scan, ops/scan.py:
+    one Pallas add per fori step, tiny HLO — the monolithic
+    `associative_scan` compiled >10 min at 2^19 and the eager odd-even
+    variant paid 5x the adds' HBM traffic in strided glue)."""
+    from . import scan as scanmod
+    return scanmod.prefix_scan(curve.add, lambda: curve.identity((1,)), P)
+
+
+def _extract_buckets(prefix, dsort, wbits: int):
+    """Segment-boundary differences of the sorted prefix -> bucket sums."""
     nbuckets = 1 << wbits
+    n = dsort.shape[0]
     ident = curve.identity((nbuckets,))
+    ends = jnp.searchsorted(
+        dsort, jnp.arange(nbuckets, dtype=dsort.dtype), side="right") - 1
+    prev = jnp.concatenate([jnp.asarray([-1]), ends[:-1]])
+    present = ends > prev
+    at_end = tuple(c[jnp.clip(ends, 0, n - 1)] for c in prefix)
+    at_prev = tuple(c[jnp.clip(prev, 0, n - 1)] for c in prefix)
+    at_prev = curve._sel(prev >= 0, at_prev, ident)
+    part = curve.add(at_end, curve.neg(at_prev))
+    return curve._sel(present, part, ident)
 
-    def one_chunk(c, buckets):
-        dch = jax.lax.dynamic_slice_in_dim(digits_flat, c * chunk, chunk)
-        order = jnp.argsort(dch)
-        dsort = dch[order]
-        pts_aff = jax.lax.dynamic_slice_in_dim(
-            table_flat, c * chunk, chunk)[order].astype(jnp.int32)
-        P = curve.from_affine(pts_aff)
-        # rolled scan below the width threshold: the unrolled XLA add graphs
-        # at small widths dominate compile time (see msm._SMALL_SCAN)
-        prefix = msm._prefix_scan_points(P, chunk)
-        ends = jnp.searchsorted(
-            dsort, jnp.arange(nbuckets, dtype=dsort.dtype),
-            side="right") - 1
-        prev = jnp.concatenate([jnp.asarray([-1]), ends[:-1]])
-        present = ends > prev
-        at_end = tuple(c_[jnp.clip(ends, 0, chunk - 1)] for c_ in prefix)
-        at_prev = tuple(c_[jnp.clip(prev, 0, chunk - 1)] for c_ in prefix)
-        at_prev = curve._sel(prev >= 0, at_prev, ident)
-        part = curve.add(at_end, curve.neg(at_prev))
-        part = curve._sel(present, part, ident)
-        return curve.add(buckets, part)
 
-    return jax.lax.fori_loop(0, nchunks, one_chunk, ident)
+@partial(jax.jit, static_argnames=("chunk", "wbits"))
+def _chunk_buckets(table_flat, digits_flat, off, chunk: int, wbits: int):
+    """One sort+scan+extract round over `chunk` flat pairs (one program)."""
+    dch = jax.lax.dynamic_slice_in_dim(digits_flat, off, chunk)
+    order = jnp.argsort(dch)
+    pts = table_flat[off + order].astype(jnp.int32)
+    prefix = scan_points(curve.from_affine(pts))
+    return _extract_buckets(prefix, dch[order], wbits)
 
 
 @partial(jax.jit, static_argnames=("wbits",))
 def _combine_buckets(buckets, wbits: int):
-    """sum_{d=1}^{2^wbits - 1} d * B_d  via suffix scan + reduction tree."""
+    """sum_{d=1}^{2^wbits-1} d * B_d  =  sum_{d>=1} suffix_d."""
     rev = tuple(c[::-1] for c in buckets)
-    suffix = tuple(c[::-1] for c in
-                   msm._prefix_scan_points(rev, 1 << wbits))
+    suffix = tuple(c[::-1] for c in scan_points(rev))
     acc = tuple(c[1:] for c in suffix)                   # drop bucket 0
-    m = (1 << wbits) - 1
-    pad = (1 << wbits) - m                               # back to a power of 2
-    ident = curve.identity((pad,))
+    ident = curve.identity((1,))
     acc = tuple(jnp.concatenate([a, i], axis=0) for a, i in zip(acc, ident))
     width = 1 << wbits
     while width > 1:
@@ -135,28 +148,38 @@ def _combine_buckets(buckets, wbits: int):
     return tuple(c[0] for c in acc)
 
 
+@jax.jit
+def _add_buckets(a, b):
+    return curve.add(a, b)
+
+
 class FixedBaseMsm:
     """Per-basis precomputed tables + the flat-Pippenger evaluator."""
 
-    def __init__(self, base_affine, wbits: int = 16):
+    def __init__(self, base_affine, wbits: int = 16,
+                 cache_path: str | None = None):
         assert wbits in (8, 16)
         self.n = base_affine.shape[0]
         self.wbits = wbits
         self.nwin = 256 // wbits
-        self.table_flat = build_tables(base_affine, wbits)
+        self.table_flat = load_or_build_tables(base_affine, wbits,
+                                               cache_path)
 
     def __call__(self, scalars: jnp.ndarray):
         """scalars (N, NL) Fr limbs -> homogeneous projective point
         (tuple of (NL,) arrays, curve.py conventions)."""
         assert scalars.shape[0] == self.n, (scalars.shape, self.n)
         digits = _digits(scalars, self.wbits)            # (N, NWIN)
-        # pair j = w * N + i  <->  table_flat row (w * N + i)
         digits_flat = digits.T.reshape(-1)               # (NWIN*N,)
         total = digits_flat.shape[0]
         chunk = min(CHUNK, total)
         assert total % chunk == 0, (total, chunk)
-        buckets = _bucket_partials(self.table_flat, digits_flat,
-                                   total // chunk, chunk, self.wbits)
+        buckets = None
+        for off in range(0, total, chunk):
+            part = _chunk_buckets(self.table_flat, digits_flat, off,
+                                  chunk, self.wbits)
+            buckets = part if buckets is None else _add_buckets(buckets,
+                                                                part)
         return _combine_buckets(buckets, self.wbits)
 
     def msm_many(self, cols) -> jnp.ndarray:

@@ -125,13 +125,18 @@ class ParamsKZG:
 
     def fixed_base(self, lagrange: bool):
         """Lazily built flat-Pippenger tables for one SRS basis
-        (ops/msm_fb.py); cached on the params object."""
+        (ops/msm_fb.py); cached on the params object AND on disk next to
+        the SRS file (PARAMS_DIR artifact pattern, SURVEY.md §5)."""
         from ..ops.msm_fb import FixedBaseMsm
         attr = "_fb_lagrange" if lagrange else "_fb_monomial"
         fb = self.__dict__.get(attr)
         if fb is None:
             base = self.g_lagrange if lagrange else self.g
-            fb = FixedBaseMsm(jnp.asarray(base))
+            d = os.environ.get("PARAMS_DIR", "./params")
+            tag = "lag" if lagrange else "mono"
+            cache = os.path.join(d, f"kzg_bn254_{self.k}.fbtab16_{tag}.npy") \
+                if os.path.isdir(d) else None
+            fb = FixedBaseMsm(jnp.asarray(base), cache_path=cache)
             self.__dict__[attr] = fb
         return fb
 

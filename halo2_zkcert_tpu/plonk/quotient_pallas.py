@@ -125,30 +125,39 @@ class QuotientPlan:
 
 
 def make_kernel(plan: QuotientPlan):
-    """Returns kernel(*plane_refs, ch_ref, const_ref, out_ref) evaluating
-    the whole constraint forest on one (ROWS, LANES) tile."""
+    """Returns kernel(*plane_refs, *chal_refs, out_ref) evaluating the
+    whole constraint forest on one (ROWS, LANES) tile.  Field constants
+    are baked in as vector literals (a 3-D constant-pool block crashed the
+    Mosaic compiler); runtime challenges arrive as replicated 2-D planes."""
     cs = plan.csys
     nleaves = len(plan.leaves)
+    nconst = len(plan.consts)
 
     def kernel(*refs):
         fold_ref, pad_ref = refs[0], refs[1]
         plane_refs = refs[2:2 + nleaves]
-        ch_ref = refs[2 + nleaves]
-        const_ref = refs[3 + nleaves]
-        out_ref = refs[4 + nleaves]
+        ch_refs = refs[2 + nleaves:2 + nleaves + plan.nch]
+        const_refs = refs[2 + nleaves + plan.nch:
+                          2 + nleaves + plan.nch + nconst]
+        out_ref = refs[2 + nleaves + plan.nch + nconst]
 
         mul, add, sub, small = PL._mk_ops(fold_ref[:], pad_ref[:])
         T = out_ref.shape[1]
 
+        ones_plane = jnp.zeros((ROWS, T), jnp.float32) + 1.0
+
         def bcast(block):
-            # (ROWS, 128) replicated block -> (ROWS, T) via lane-0 slice
-            return jnp.broadcast_to(block[:, :1], (ROWS, T))
+            # (ROWS, 128) replicated block -> (ROWS, T).  The multiply
+            # MATERIALIZES the lane broadcast: a lazily-broadcast value fed
+            # into the conv's sublane slice later would need a broadcast in
+            # both sublanes and lanes, which Mosaic cannot lower.
+            return block[:, :1] * ones_plane
 
         def chal(i):
-            return bcast(ch_ref[i])
+            return bcast(ch_refs[i][:])
 
         def constv(ix):
-            return bcast(const_ref[ix])
+            return bcast(const_refs[ix][:])
 
         def leafv(tag, idx=0, rot=0):
             return plane_refs[plan.leaf_ix[(tag, idx, rot)]][:]
@@ -191,7 +200,9 @@ def make_kernel(plan: QuotientPlan):
             return v
 
         theta_e, beta_e, gamma_e, y_e = (chal(i) for i in range(4))
-        one = zero.at[0, :].set(1.0)
+        # limb-0 == 1 plane; .at[].set lowers to scatter (no Mosaic support)
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (ROWS, T), 0)
+        one = jnp.where(row_ix == 0, 1.0, 0.0)
         l0 = leafv(AUX, "l0")
         llast = leafv(AUX, "llast")
         lblind = leafv(AUX, "lblind")
@@ -260,7 +271,7 @@ def make_kernel(plan: QuotientPlan):
 
 # smaller lane tile than the limb kernels: the forest's VMEM working set
 # (cached subexpression planes) rides on top of the ~40 leaf blocks
-QLANES = 256
+QLANES = 128
 
 
 def _to_plane(arr_int32: jnp.ndarray) -> jnp.ndarray:
@@ -295,12 +306,6 @@ class QuotientPallas:
                 self.static_planes[(tag, idx, rot)] = _to_plane(sigma_ext[idx])
             elif tag == AUX:
                 self.static_planes[(tag, idx, rot)] = _to_plane(aux_ext[idx])
-        nconst = max(len(self.plan.consts), 1)
-        const_arr = np.zeros((nconst, ROWS, 128), np.float32)
-        for j, v in enumerate(self.plan.consts):
-            const_arr[j, :NL, :] = np.asarray(
-                limbs.int_to_limbs(v, NL), np.float32)[:, None]
-        self.const_arr = jnp.asarray(const_arr)
         self.static_list = tuple(self.static_planes[key]
                                  for key in self.plan.leaves
                                  if key[0] in (F, SIGMA, AUX))
@@ -316,7 +321,7 @@ class QuotientPallas:
         fold, pad_c = PL._consts(rc.FR)
 
         def jfn(col_ext, permz_ext, lkz_ext, lka_ext, lks_ext, chal,
-                const_in, static_list):
+                static_list):
             planes = []
             si = iter(static_list)
             for (tag, idx, rot) in plan.leaves:
@@ -333,10 +338,13 @@ class QuotientPallas:
                     src = jnp.roll(src, -rot * stride, axis=0)
                 planes.append(_to_plane(src))
 
-            # challenges -> (NCH, ROWS, 128) replicated planes
-            ch = jnp.zeros((plan.nch, ROWS, 128), jnp.float32)
-            ch = ch.at[:, :NL, :].set(
-                chal.astype(jnp.float32)[:, :, None])
+            # challenges -> one replicated (ROWS, 128) plane each
+            chf = chal.astype(jnp.float32)               # (nch, NL)
+            chf = jnp.pad(chf, ((0, 0), (0, ROWS - NL)))
+            ch_planes = [jnp.broadcast_to(chf[i][:, None], (ROWS, 128))
+                         for i in range(plan.nch)]
+            const_planes = [jnp.broadcast_to(c[:, None], (ROWS, 128))
+                            for c in const_cols]
 
             grid = ext_n // QLANES
             pspec = pl.BlockSpec((ROWS, QLANES), lambda i: (0, i),
@@ -345,22 +353,25 @@ class QuotientPallas:
                                  memory_space=pltpu.VMEM)
             padspec = pl.BlockSpec((ROWS,), lambda i: (0,),
                                    memory_space=pltpu.VMEM)
-            chspec = pl.BlockSpec((plan.nch, ROWS, 128),
-                                  lambda i: (0, 0, 0),
+            chspec = pl.BlockSpec((ROWS, 128), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
-            constspec = pl.BlockSpec(
-                (const_in.shape[0], ROWS, 128), lambda i: (0, 0, 0),
-                memory_space=pltpu.VMEM)
             out = pl.pallas_call(
                 kernel,
                 grid=(grid,),
                 in_specs=[cspec, padspec] + [pspec] * len(planes)
-                         + [chspec, constspec],
+                         + [chspec] * (plan.nch + len(const_cols)),
                 out_specs=pspec,
                 out_shape=jax.ShapeDtypeStruct((ROWS, ext_n), jnp.float32),
                 interpret=PL._INTERPRET,
-            )(fold, pad_c, *planes, ch, const_in)
+            )(fold, pad_c, *planes, *ch_planes, *const_planes)
             return out[:NL].T.astype(jnp.int32)
+
+        # per-pk constant columns (ROWS,) f32, passed as replicated planes
+        const_cols = []
+        for v in plan.consts:
+            col = np.zeros(ROWS, np.float32)
+            col[:NL] = np.asarray(limbs.int_to_limbs(v, NL), np.float32)
+            const_cols.append(jnp.asarray(col))
 
         return jax.jit(jfn)
 
@@ -369,4 +380,4 @@ class QuotientPallas:
         if self._jfn is None:
             self._jfn = self._build_jfn()
         return self._jfn(col_ext, permz_ext, lkz_ext, lka_ext, lks_ext,
-                         chal, self.const_arr, self.static_list)
+                         chal, self.static_list)
