@@ -83,30 +83,41 @@ class FieldSpec:
             int_to_limbs(pow(2, LIMB_BITS * (CANON_LIMBS + j), modulus), CANON_LIMBS)
             for j in range(fold_rows)
         ])
-        # A multiple of p whose base-256 digits are all in [512, 2047]:
-        # enables branch-free limbwise subtraction (a + sub_pad - b stays
-        # nonnegative per limb for normalized b). Greedy digit construction.
-        target_lo = sum(512 << (LIMB_BITS * i) for i in range(NLIMBS))
-        k = -(-target_lo // modulus) + 1
-        v = modulus * k
-        digits = np.zeros(NLIMBS, dtype=np.int64)
-        rem = v
-        for i in range(NLIMBS - 1, -1, -1):
-            base = 1 << (LIMB_BITS * i)
-            lo_rest = sum(512 << (LIMB_BITS * jj) for jj in range(i))
-            hi_rest = sum(2047 << (LIMB_BITS * jj) for jj in range(i))
-            d = max(512, min(2047, (rem - lo_rest) // base))
-            while d * base + hi_rest < rem:
-                d += 1
-            digits[i] = d
-            rem -= d * base
-            assert 512 <= d <= 2047, (name, i, d)
-        assert rem == 0
-        assert sum(int(d) << (LIMB_BITS * i) for i, d in enumerate(digits)) == v
         return FieldSpec(
             name=name, modulus=modulus, p_limbs=p_limbs, fold_mat=fold,
-            sub_pad=digits.astype(np.int32), r_inv=0, FOLD_ROWS=fold_rows,
+            sub_pad=_pad_multiple(name, modulus, NLIMBS, 512),
+            r_inv=0, FOLD_ROWS=fold_rows,
         )
+
+    def sub_pad_wide(self) -> np.ndarray:
+        """(35,) pad for the Pallas kernels' RELAXED limb class (rows up
+        to 34, limbs up to ~320 after carry-only adds): a multiple of p
+        with every digit in [768, 2047]."""
+        return _pad_multiple(self.name, self.modulus, NLIMBS + 2, 768)
+
+
+def _pad_multiple(name: str, modulus: int, width: int, lo: int) -> np.ndarray:
+    """A multiple of `modulus` whose `width` base-256 digits all lie in
+    [lo, 2047]: enables branch-free limbwise subtraction (a + pad - b
+    stays nonnegative per limb for b with limbs <= lo). Greedy digits."""
+    target_lo = sum(lo << (LIMB_BITS * i) for i in range(width))
+    k = -(-target_lo // modulus) + 1
+    v = modulus * k
+    digits = np.zeros(width, dtype=np.int64)
+    rem = v
+    for i in range(width - 1, -1, -1):
+        base = 1 << (LIMB_BITS * i)
+        lo_rest = sum(lo << (LIMB_BITS * jj) for jj in range(i))
+        hi_rest = sum(2047 << (LIMB_BITS * jj) for jj in range(i))
+        d = max(lo, min(2047, (rem - lo_rest) // base))
+        while d * base + hi_rest < rem:
+            d += 1
+        digits[i] = d
+        rem -= d * base
+        assert lo <= d <= 2047, (name, i, d)
+    assert rem == 0
+    assert sum(int(d) << (LIMB_BITS * i) for i, d in enumerate(digits)) == v
+    return digits.astype(np.int32)
 
 
 def _shift_up(x: jnp.ndarray) -> jnp.ndarray:

@@ -133,6 +133,53 @@ def _chunk_buckets(table_flat, digits_flat, off, chunk: int, wbits: int):
 
 
 @partial(jax.jit, static_argnames=("wbits",))
+def _buckets_all(table_flat, digits_flat, wbits: int):
+    """ALL chunks in one program: batched sort + ONE batched prefix scan
+    (B sequential chunk scans collapse into one — the scan's fori step
+    count dominated commit latency) + per-chunk extraction, combined with
+    wide adds."""
+    from . import scan as scanmod
+    total = digits_flat.shape[0]
+    B = max(total // CHUNK, 1)
+    chunk = total // B
+    d = digits_flat.reshape(B, chunk)
+    order = jnp.argsort(d, axis=1)                       # (B, chunk)
+    rows = jnp.arange(total, dtype=jnp.int32).reshape(B, chunk)
+    pts = table_flat[jnp.take_along_axis(rows, order, axis=1)] \
+        .astype(jnp.int32)                               # (B, chunk, 2, NL)
+    dsort = jnp.take_along_axis(d, order, axis=1)
+    # table points are never the identity (SRS powers of tau), so skip
+    # from_affine's is_zero scan (an exact-carry pass over all 2M points)
+    x, y = pts[..., 0, :], pts[..., 1, :]
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    P = (x, y, one)
+    local, off, C = scanmod.prefix_scan_batched_local(
+        curve.add, lambda: curve.identity((1,)), P)
+    nbuckets = 1 << wbits
+    ident = curve.identity((nbuckets,))
+    buckets = None
+    for b in range(B):
+        ends = jnp.searchsorted(
+            dsort[b], jnp.arange(nbuckets, dtype=dsort.dtype),
+            side="right") - 1
+        prev = jnp.concatenate([jnp.asarray([-1]), ends[:-1]])
+        present = ends > prev
+
+        def prefix_at(idx):
+            safe = jnp.clip(idx, 0, chunk - 1)
+            l = tuple(c[b][safe] for c in local)
+            o = tuple(c[b][safe // C] for c in off)
+            return curve.add(o, l)
+
+        at_end = prefix_at(ends)
+        at_prev = curve._sel(prev >= 0, prefix_at(prev), ident)
+        part = curve.add(at_end, curve.neg(at_prev))
+        part = curve._sel(present, part, ident)
+        buckets = part if buckets is None else curve.add(buckets, part)
+    return buckets
+
+
+@partial(jax.jit, static_argnames=("wbits",))
 def _combine_buckets(buckets, wbits: int):
     """sum_{d=1}^{2^wbits-1} d * B_d  =  sum_{d>=1} suffix_d."""
     rev = tuple(c[::-1] for c in buckets)
@@ -171,15 +218,7 @@ class FixedBaseMsm:
         assert scalars.shape[0] == self.n, (scalars.shape, self.n)
         digits = _digits(scalars, self.wbits)            # (N, NWIN)
         digits_flat = digits.T.reshape(-1)               # (NWIN*N,)
-        total = digits_flat.shape[0]
-        chunk = min(CHUNK, total)
-        assert total % chunk == 0, (total, chunk)
-        buckets = None
-        for off in range(0, total, chunk):
-            part = _chunk_buckets(self.table_flat, digits_flat, off,
-                                  chunk, self.wbits)
-            buckets = part if buckets is None else _add_buckets(buckets,
-                                                                part)
+        buckets = _buckets_all(self.table_flat, digits_flat, self.wbits)
         return _combine_buckets(buckets, self.wbits)
 
     def msm_many(self, cols) -> jnp.ndarray:

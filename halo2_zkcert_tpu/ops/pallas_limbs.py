@@ -71,58 +71,71 @@ def _fold(x, fold_rows, nrows: int):
     return acc
 
 
-def _reduce_full(x, fold_rows):
-    """conv output (< 2^23 coeffs, rows 0..65 live in a (2*ROWS, B) buf)
-    -> resident (ROWS, B), rows >= 32 zero.
+# In-kernel LAZY arithmetic: values live in a RELAXED class — nonzero rows
+# 0..34 (the kernel planes have 40), limbs <= ~320 — and only `finalize`
+# brings them back to the resident class (rows >= 33 zero) at kernel
+# output boundaries.  Bounds (all f32-exact, < 2^24):
+#   conv:     35 rows x 320^2 products -> coeffs <= 3.6M
+#   carry3 of <= 16M coeffs converges to limbs <= ~260 (3 halving passes)
+#   fold:     40 rows x 320 x 255 sums <= 3.3M
+#   add:      a + b <= 640 -> carry3 -> <= ~258
+#   sub:      a + (pad_wide - b); pad digits in [768, 2047] >= any relaxed
+#             limb, so every limb stays nonnegative; carry3 -> <= ~260
+#   small(k<2^12): 320 * 4095 <= 1.4M -> carry3
+# Versus the earlier always-resident ops this removes the 3-round
+# fold/carry pipeline from every add/sub/small (~4x cheaper) and two
+# rounds from every mul — the dominant cost in the RCB16 group law.
+_CONV_ROWS = 35
 
-    Mirrors limbs.partial_reduce's carry3 -> [fold -> carry3]*rounds chain,
-    whose convergence to exact zeros above row 31 is verified numerically
-    in tests (the first fold spans all 40 high rows; later folds only see
-    the <= 3 carry rows the previous carry pass produced)."""
-    for _ in range(3):
-        hi = jnp.floor(x * _INV256)
-        lo = x - hi * 256.0
-        x = lo + jnp.concatenate(
-            [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
+
+def _reduce_mul(x, fold_rows):
+    """conv output (<= 2^24 coeffs, rows 0..69 in a (2*ROWS, B) buf) ->
+    relaxed class (ROWS, B)."""
+    x = _carry3(x)
     x = _fold(x, fold_rows, ROWS)                                # (40, B)
-    for _ in range(5):
-        x = _carry3(x)
-        x = _fold(x, fold_rows, 3)
+    x = _carry3(x)
+    x = _fold(x, fold_rows, 3)
     return _carry3(x)
 
 
-def _reduce_small(x, fold_rows):
-    """Resident-sum reduction (inputs <= ~2^13 per limb): add/sub/small.
-    Mirrors partial_reduce(rounds=3): rows >= 33 end exactly zero; row 32
-    may hold a small residue (the resident class allows it)."""
-    x = _carry3(x)
-    for _ in range(3):
-        x = _fold(x, fold_rows, 3)
-        x = _carry3(x)
-    return x
+def _mk_ops(fold_rows, pad_wide):
+    """In-kernel field ops over (ROWS, B) f32 planes (relaxed class).
 
-
-def _mk_ops(fold_rows, sub_pad):
-    """In-kernel field ops over (ROWS, B) f32 planes (resident class)."""
+    Returns (mul, add, sub, small, finalize); `finalize` must be applied
+    before storing to an output ref (host-side code slices rows < 33)."""
 
     def mul(a, b):
         B = a.shape[1]
         acc = jnp.zeros((2 * ROWS, B), jnp.float32)
-        for i in range(NL):
+        for i in range(_CONV_ROWS):
             term = a[i:i + 1] * b                                # (40, B)
             acc = acc + jnp.pad(term, ((i, 2 * ROWS - ROWS - i), (0, 0)))
-        return _reduce_full(acc, fold_rows)
+        return _reduce_mul(acc, fold_rows)
 
     def add(a, b):
-        return _reduce_small(a + b, fold_rows)
+        # carry-only: rows 33/34 accumulate <= 1 carry per add, so only
+        # pathological >10^2-long pure-add chains (none exist: every gate/
+        # group-law chain passes through mul/sub/small, which fold) could
+        # push a carry past the conv window
+        return _carry3(a + b)
 
     def sub(a, b):
-        return _reduce_small(a + (sub_pad[:, None] - b), fold_rows)
+        # the pad's top digit lands in row 34 and carries into row 35;
+        # fold rows 32..35 back down so the row invariant holds
+        x = _carry3(a + (pad_wide[:, None] - b))
+        return _carry3(_fold(x, fold_rows, 4))
 
     def small(a, k):
-        return _reduce_small(a * np.float32(k), fold_rows)
+        x = _carry3(a * np.float32(k))
+        return _carry3(_fold(x, fold_rows, 4))
 
-    return mul, add, sub, small
+    def finalize(x):
+        x = _fold(x, fold_rows, 4)
+        x = _carry3(x)
+        x = _fold(x, fold_rows, 3)
+        return _carry3(x)
+
+    return mul, add, sub, small, finalize
 
 
 B3 = 9
@@ -132,7 +145,7 @@ def _rcb16_add_kernel(fold_ref, pad_ref, x1_ref, y1_ref, z1_ref,
                       x2_ref, y2_ref, z2_ref, ox_ref, oy_ref, oz_ref):
     """Complete projective add (RCB16 Alg 7, a=0, b3=9): 12M straight-line,
     everything in VMEM."""
-    mul, add, sub, small = _mk_ops(fold_ref[:], pad_ref[:])
+    mul, add, sub, small, fin = _mk_ops(fold_ref[:], pad_ref[:])
     X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
     X2, Y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
     t0 = mul(X1, X2)
@@ -152,30 +165,30 @@ def _rcb16_add_kernel(fold_ref, pad_ref, x1_ref, y1_ref, z1_ref,
     X3o = sub(mul(t3, t1), mul(t4, Y3))
     Y3o = add(mul(t1, Z3), mul(Y3, t0))
     Z3o = add(mul(Z3, t4), mul(t0, t3))
-    ox_ref[:] = X3o
-    oy_ref[:] = Y3o
-    oz_ref[:] = Z3o
+    ox_ref[:] = fin(X3o)
+    oy_ref[:] = fin(Y3o)
+    oz_ref[:] = fin(Z3o)
 
 
 def _mul_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
-    mul, _, _, _ = _mk_ops(fold_ref[:], pad_ref[:])
-    o_ref[:] = mul(a_ref[:], b_ref[:])
+    mul, _, _, _, fin = _mk_ops(fold_ref[:], pad_ref[:])
+    o_ref[:] = fin(mul(a_ref[:], b_ref[:]))
 
 
 def _add_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
-    _, add, _, _ = _mk_ops(fold_ref[:], pad_ref[:])
-    o_ref[:] = add(a_ref[:], b_ref[:])
+    _, add, _, _, fin = _mk_ops(fold_ref[:], pad_ref[:])
+    o_ref[:] = fin(add(a_ref[:], b_ref[:]))
 
 
 def _sub_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
-    _, _, sub, _ = _mk_ops(fold_ref[:], pad_ref[:])
-    o_ref[:] = sub(a_ref[:], b_ref[:])
+    _, _, sub, _, fin = _mk_ops(fold_ref[:], pad_ref[:])
+    o_ref[:] = fin(sub(a_ref[:], b_ref[:]))
 
 
 def _rcb16_dbl_kernel(fold_ref, pad_ref, x_ref, y_ref, z_ref,
                       ox_ref, oy_ref, oz_ref):
     """Complete projective double (RCB16 Alg 9, a=0, b3=9): 6M+2S."""
-    mul, add, sub, small = _mk_ops(fold_ref[:], pad_ref[:])
+    mul, add, sub, small, fin = _mk_ops(fold_ref[:], pad_ref[:])
     X, Y, Z = x_ref[:], y_ref[:], z_ref[:]
     t0 = mul(Y, Y)
     Z3 = small(t0, 8)
@@ -190,9 +203,9 @@ def _rcb16_dbl_kernel(fold_ref, pad_ref, x_ref, y_ref, z_ref,
     Y3 = add(X3, Y3)
     t1 = mul(X, Y)
     X3 = small(mul(t0, t1), 2)
-    ox_ref[:] = X3
-    oy_ref[:] = Y3
-    oz_ref[:] = Z3
+    ox_ref[:] = fin(X3)
+    oy_ref[:] = fin(Y3)
+    oz_ref[:] = fin(Z3)
 
 
 @lru_cache(maxsize=1)
@@ -214,7 +227,8 @@ def _consts(modulus: int):
     fold = np.zeros((ROWS, 32), np.float32)
     fold[:spec.FOLD_ROWS] = spec.fold_mat.astype(np.float32)
     pad = np.zeros(ROWS, np.float32)
-    pad[:NL] = spec.sub_pad.astype(np.float32)
+    wide = spec.sub_pad_wide()
+    pad[:len(wide)] = wide.astype(np.float32)
     with jax.ensure_compile_time_eval():
         return jnp.asarray(fold), jnp.asarray(pad)
 

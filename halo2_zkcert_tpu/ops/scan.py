@@ -45,9 +45,10 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
         init = tuple(c[0] for c in identity1())
         _, pref = jax.lax.scan(body, init, xs)
         return pref
-    assert n % _C == 0, n
-    R = n // _C
-    grid = tuple(c.reshape((R, _C) + c.shape[1:]) for c in xs)
+    C = _C if n // _C >= base else max(2, n // base)
+    assert n % C == 0, n
+    R = n // C
+    grid = tuple(c.reshape((R, C) + c.shape[1:]) for c in xs)
 
     def body(j, g):
         prev = tuple(jax.lax.dynamic_slice_in_dim(c, j - 1, 1, axis=1)[:, 0]
@@ -58,7 +59,7 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
         return tuple(jax.lax.dynamic_update_slice_in_dim(
             c, v[:, None], j, axis=1) for c, v in zip(g, s))
 
-    grid = jax.lax.fori_loop(1, _C, body, grid)
+    grid = jax.lax.fori_loop(1, C, body, grid)
     totals = tuple(c[:, -1] for c in grid)
     tot_scan = prefix_scan(combine, identity1, totals, base)
     off = tuple(jnp.concatenate([i, t[:-1]], axis=0)
@@ -73,3 +74,91 @@ def suffix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
     """Inclusive reverse (suffix) scan via reversal."""
     rev = tuple(c[::-1] for c in xs)
     return tuple(c[::-1] for c in prefix_scan(combine, identity1, rev, base))
+
+
+def prefix_scan_batched_local(combine, identity1, xs: tuple,
+                              base: int = _ROLLED):
+    """Batched grid scan WITHOUT the final row-offset pass.
+
+    Returns (local, offsets, C): `local` (B, n, ...) holds prefixes local
+    to each C-sized row; `offsets` (B, R, ...) the EXCLUSIVE row offsets;
+    the true prefix at flat index i is combine(offsets[i // C], local[i]).
+    Callers that only read the prefix at few positions (segment-boundary
+    extraction) apply offsets at those positions instead of paying a full
+    n-wide combine."""
+    B, n = xs[0].shape[0], xs[0].shape[1]
+    if n <= base:
+        pref = prefix_scan_batched(combine, identity1, xs, base)
+        ident = tuple(jnp.broadcast_to(c[None], (B, 1) + c.shape[1:])
+                      for c in identity1())
+        return pref, ident, n
+    C = _C if n // _C >= base else max(2, n // base)
+    assert n % C == 0, n
+    R = n // C
+    grid = tuple(c.reshape((B, R, C) + c.shape[2:]) for c in xs)
+
+    def body(j, g):
+        prev = tuple(jax.lax.dynamic_slice_in_dim(c, j - 1, 1,
+                                                  axis=2)[:, :, 0]
+                     for c in g)
+        cur = tuple(jax.lax.dynamic_slice_in_dim(c, j, 1, axis=2)[:, :, 0]
+                    for c in g)
+        s = combine(prev, cur)
+        return tuple(jax.lax.dynamic_update_slice_in_dim(
+            c, v[:, :, None], j, axis=2) for c, v in zip(g, s))
+
+    grid = jax.lax.fori_loop(1, C, body, grid)
+    totals = tuple(c[:, :, -1] for c in grid)            # (B, R, ...)
+    tot_scan = prefix_scan_batched(combine, identity1, totals, base)
+    ident_b = tuple(jnp.broadcast_to(c[None], (B,) + c.shape)
+                    for c in identity1())                # (B, 1, ...)
+    off = tuple(jnp.concatenate([i, t[:, :-1]], axis=1)
+                for i, t in zip(ident_b, tot_scan))
+    local = tuple(c.reshape((B, n) + c.shape[3:]) for c in grid)
+    return local, off, C
+
+
+def prefix_scan_batched(combine, identity1, xs: tuple,
+                        base: int = _ROLLED) -> tuple:
+    """Batched inclusive prefix scan: xs tuple of (B, n, ...) arrays,
+    scanned independently along axis 1 in ONE program — B sequential
+    chunk scans collapse into one (the per-step combine width grows B-fold,
+    the sequential step count does not)."""
+    B, n = xs[0].shape[0], xs[0].shape[1]
+    if n <= base:
+        mv = tuple(jnp.moveaxis(c, 1, 0) for c in xs)    # (n, B, ...)
+
+        def body(carry, elem):
+            new = combine(carry, elem)
+            return new, new
+
+        init = tuple(jnp.broadcast_to(c[0][None], (B,) + c.shape[1:])
+                     for c in identity1())
+        _, pref = jax.lax.scan(body, init, mv)
+        return tuple(jnp.moveaxis(c, 0, 1) for c in pref)
+    C = _C if n // _C >= base else max(2, n // base)
+    assert n % C == 0, n
+    R = n // C
+    grid = tuple(c.reshape((B, R, C) + c.shape[2:]) for c in xs)
+
+    def body(j, g):
+        prev = tuple(jax.lax.dynamic_slice_in_dim(c, j - 1, 1,
+                                                  axis=2)[:, :, 0]
+                     for c in g)
+        cur = tuple(jax.lax.dynamic_slice_in_dim(c, j, 1, axis=2)[:, :, 0]
+                    for c in g)
+        s = combine(prev, cur)
+        return tuple(jax.lax.dynamic_update_slice_in_dim(
+            c, v[:, :, None], j, axis=2) for c, v in zip(g, s))
+
+    grid = jax.lax.fori_loop(1, C, body, grid)
+    totals = tuple(c[:, :, -1] for c in grid)            # (B, R, ...)
+    tot_scan = prefix_scan_batched(combine, identity1, totals, base)
+    ident_b = tuple(jnp.broadcast_to(c[None], (B,) + c.shape)
+                    for c in identity1())                # (B, 1, ...)
+    off = tuple(jnp.concatenate([i, t[:, :-1]], axis=1)
+                for i, t in zip(ident_b, tot_scan))
+    off_b = tuple(jnp.broadcast_to(o[:, :, None], c.shape)
+                  for o, c in zip(off, grid))
+    out = combine(grid, off_b)
+    return tuple(c.reshape((B, n) + c.shape[3:]) for c in out)

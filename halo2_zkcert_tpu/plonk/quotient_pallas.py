@@ -141,7 +141,7 @@ def make_kernel(plan: QuotientPlan):
                           2 + nleaves + plan.nch + nconst]
         out_ref = refs[2 + nleaves + plan.nch + nconst]
 
-        mul, add, sub, small = PL._mk_ops(fold_ref[:], pad_ref[:])
+        mul, add, sub, small, fin = PL._mk_ops(fold_ref[:], pad_ref[:])
         T = out_ref.shape[1]
 
         ones_plane = jnp.zeros((ROWS, T), jnp.float32) + 1.0
@@ -264,7 +264,7 @@ def make_kernel(plan: QuotientPlan):
             acc(mul(l0, sub(a_p, s_p)))
             acc(mul(mul(active, sub(a_p, s_p)), sub(a_p, a_prev)))
 
-        out_ref[:] = mul(h, leafv(AUX, "zh_inv"))
+        out_ref[:] = fin(mul(h, leafv(AUX, "zh_inv")))
 
     return kernel
 
