@@ -47,10 +47,25 @@ NL = limbs.NLIMBS
 CHUNK = 1 << 19
 
 
+# Digit width: scalars are RESIDENT Fr values (< 2^259 < 2^272, any
+# representative of the residue class).  Because G1 has prime order r,
+# (v + k*r) * G == v * G — so the MSM needs NO mod-r canonicalization
+# (the reference reduces because CPU Pippenger wants minimal windows
+# [dep]; here the 6-round compare-subtract canonicalization cost more
+# than the extra 2 windows).  Plain integer carrying (exact_digits) gives
+# 34 base-256 digits; windows cover 272 bits.
+_DIGIT_BYTES = 34
+
+
+def _nwin(wbits: int) -> int:
+    return _DIGIT_BYTES * 8 // wbits
+
+
 @partial(jax.jit, static_argnames=("wbits",))
 def _digits(scalars: jnp.ndarray, wbits: int) -> jnp.ndarray:
-    """(N, NL) Fr limbs -> (N, 256/wbits) int32 window digits."""
-    d8 = msm.scalars_to_digits(scalars)                  # (N, 32) canonical
+    """(N, NL) resident Fr limbs -> (N, 272/wbits) int32 window digits."""
+    from .field import FR as FRS
+    d8 = limbs.exact_digits(FRS, scalars)                # (N, 34) bytes
     if wbits == 8:
         return d8
     assert wbits == 16
@@ -63,8 +78,9 @@ def build_tables(base_affine, wbits: int) -> jnp.ndarray:
     T[w] = 2^(wbits*w) * base: `wbits` batched complete doublings per
     window step (Pallas kernels on TPU), all windows kept projective, then
     ONE batched affine normalization at the end — per-window `to_affine`
-    paid an eager 2^17-wide inversion scan 15 times (~14 s each)."""
-    nwin = 256 // wbits
+    paid an eager 2^17-wide inversion scan 15 times (~14 s each).
+    Window count covers 272-bit (uncanonicalized resident) scalars."""
+    nwin = _nwin(wbits)
     n = base_affine.shape[0]
     P = curve.from_affine(jnp.asarray(base_affine, dtype=jnp.int32))
 
@@ -208,7 +224,7 @@ class FixedBaseMsm:
         assert wbits in (8, 16)
         self.n = base_affine.shape[0]
         self.wbits = wbits
-        self.nwin = 256 // wbits
+        self.nwin = _nwin(wbits)
         self.table_flat = load_or_build_tables(base_affine, wbits,
                                                cache_path)
 
@@ -217,6 +233,8 @@ class FixedBaseMsm:
         (tuple of (NL,) arrays, curve.py conventions)."""
         assert scalars.shape[0] == self.n, (scalars.shape, self.n)
         digits = _digits(scalars, self.wbits)            # (N, NWIN)
+        assert digits.shape[1] * self.n == self.table_flat.shape[0], \
+            "window tables do not match digit count (stale cache?)"
         digits_flat = digits.T.reshape(-1)               # (NWIN*N,)
         buckets = _buckets_all(self.table_flat, digits_flat, self.wbits)
         return _combine_buckets(buckets, self.wbits)

@@ -472,8 +472,10 @@ def _coeff2ext_jit(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
 
 # Column-group cap for the batched domain conversions.  One program shape
 # per (group, k) keeps compiles bounded AND caps live HBM — an unbounded
-# column batch at the 4n extended domain asked for 38G at k=17.
-_NTT_GROUP = 4
+# column batch at the 4n extended domain asked for 38G at k=17.  8 columns
+# x 2^19 ext rows x 132 B = 550 MB live per program: fine on 16G HBM, and
+# half the NTT dispatches of the earlier group=4.
+_NTT_GROUP = 8
 
 
 def _chunk_cols(fn, cols, group=_NTT_GROUP):
