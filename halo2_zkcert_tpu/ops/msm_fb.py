@@ -216,6 +216,81 @@ def _add_buckets(a, b):
     return curve.add(a, b)
 
 
+# Columns per batched commit program: the sort/scan/extract fixed costs
+# amortize across G columns (zero-padded groups keep ONE compiled shape).
+# G=2 keeps the gather+scan working set ~5 GB on 16 GB HBM.
+GROUP = 2
+
+
+@partial(jax.jit, static_argnames=("wbits",))
+def _buckets_cols(table_flat, digits_cols, wbits: int):
+    """Per-column bucket sums for a GROUP of columns in one program.
+
+    digits_cols: (G, NWIN*N) window-major digits per column.
+    Returns tuple of (G, 2^wbits, NL) bucket arrays."""
+    from . import scan as scanmod
+    G, total = digits_cols.shape
+    Bc = max(total // CHUNK, 1)
+    chunk = total // Bc
+    d = digits_cols.reshape(G * Bc, chunk)
+    order = jnp.argsort(d, axis=1)
+    rows1 = jnp.arange(total, dtype=jnp.int32).reshape(Bc, chunk)
+    rows = jnp.tile(rows1, (G, 1))                       # (G*Bc, chunk)
+    pts = table_flat[jnp.take_along_axis(rows, order, axis=1)] \
+        .astype(jnp.int32)
+    dsort = jnp.take_along_axis(d, order, axis=1)
+    x, y = pts[..., 0, :], pts[..., 1, :]
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    local, off, C = scanmod.prefix_scan_batched_local(
+        curve.add, lambda: curve.identity((1,)), (x, y, one))
+    nbuckets = 1 << wbits
+    ident = curve.identity((nbuckets,))
+    per_col = []
+    for g in range(G):
+        buckets = None
+        for b in range(Bc):
+            r = g * Bc + b
+            ends = jnp.searchsorted(
+                dsort[r], jnp.arange(nbuckets, dtype=dsort.dtype),
+                side="right") - 1
+            prev = jnp.concatenate([jnp.asarray([-1]), ends[:-1]])
+            present = ends > prev
+
+            def prefix_at(idx):
+                safe = jnp.clip(idx, 0, chunk - 1)
+                l = tuple(c[r][safe] for c in local)
+                o = tuple(c[r][safe // C] for c in off)
+                return curve.add(o, l)
+
+            at_end = prefix_at(ends)
+            at_prev = curve._sel(prev >= 0, prefix_at(prev), ident)
+            part = curve.add(at_end, curve.neg(at_prev))
+            part = curve._sel(present, part, ident)
+            buckets = part if buckets is None else curve.add(buckets, part)
+        per_col.append(buckets)
+    return tuple(jnp.stack([pc[c] for pc in per_col])
+                 for c in range(3))                      # (G, nb, NL) each
+
+
+@partial(jax.jit, static_argnames=("wbits",))
+def _combine_buckets_cols(buckets, wbits: int):
+    """Batched sum_d d*B_d per column: (G, 2^wbits, NL) -> (G, 3, NL)."""
+    from . import scan as scanmod
+    rev = tuple(c[:, ::-1] for c in buckets)
+    suffix = tuple(c[:, ::-1] for c in scanmod.prefix_scan_batched(
+        curve.add, lambda: curve.identity((1,)), rev))
+    G = buckets[0].shape[0]
+    acc = tuple(c[:, 1:] for c in suffix)                # drop bucket 0
+    ident = curve.identity((G, 1))
+    acc = tuple(jnp.concatenate([a, i], axis=1) for a, i in zip(acc, ident))
+    width = 1 << wbits
+    while width > 1:
+        width //= 2
+        acc = curve.add(tuple(c[:, :width] for c in acc),
+                        tuple(c[:, width:] for c in acc))
+    return jnp.stack([c[:, 0] for c in acc], axis=1)     # (G, 3, NL)
+
+
 class FixedBaseMsm:
     """Per-basis precomputed tables + the flat-Pippenger evaluator."""
 
@@ -240,10 +315,23 @@ class FixedBaseMsm:
         return _combine_buckets(buckets, self.wbits)
 
     def msm_many(self, cols) -> jnp.ndarray:
-        """(m, N, NL) -> (m, 3, NL) projective accumulators, sequential
-        per column (each column saturates the chip)."""
+        """(m, N, NL) -> (m, 3, NL) projective accumulators, processed in
+        GROUP-sized column batches (zero-padded -> one compiled shape; the
+        sort/scan fixed costs amortize across the group)."""
+        m = cols.shape[0]
         outs = []
-        for i in range(cols.shape[0]):
-            outs.append(jnp.stack(self(cols[i])))
-            np.asarray(outs[-1][0, :1])   # host fetch: bound in-flight mem
-        return jnp.stack(outs)
+        for base in range(0, m, GROUP):
+            grp = cols[base:base + GROUP]
+            g = grp.shape[0]
+            if g < GROUP:
+                grp = jnp.concatenate(
+                    [grp, jnp.zeros((GROUP - g,) + grp.shape[1:],
+                                    grp.dtype)], axis=0)
+            d = _digits(grp.reshape(GROUP * self.n, NL), self.wbits)
+            d = d.reshape(GROUP, self.n, self.nwin) \
+                .transpose(0, 2, 1).reshape(GROUP, -1)   # window-major
+            buckets = _buckets_cols(self.table_flat, d, self.wbits)
+            res = _combine_buckets_cols(buckets, self.wbits)  # (G, 3, NL)
+            outs.append(res[:g])
+            np.asarray(outs[-1][0, 0, :1])  # host fetch: bound in-flight
+        return jnp.concatenate(outs, axis=0)
