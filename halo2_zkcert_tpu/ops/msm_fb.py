@@ -320,18 +320,23 @@ class FixedBaseMsm:
         sort/scan fixed costs amortize across the group)."""
         m = cols.shape[0]
         outs = []
-        for base in range(0, m, GROUP):
-            grp = cols[base:base + GROUP]
-            g = grp.shape[0]
+        base = 0
+        while base < m:
+            g = min(GROUP, m - base)
             if g < GROUP:
-                grp = jnp.concatenate(
-                    [grp, jnp.zeros((GROUP - g,) + grp.shape[1:],
-                                    grp.dtype)], axis=0)
+                # remainder: the single-column program — zero-padding a
+                # group would pay a full phantom column of scan work
+                outs.append(jnp.stack(self(cols[base]))[None])
+                np.asarray(outs[-1][0, 0, :1])
+                base += 1
+                continue
+            grp = cols[base:base + GROUP]
             d = _digits(grp.reshape(GROUP * self.n, NL), self.wbits)
             d = d.reshape(GROUP, self.n, self.nwin) \
                 .transpose(0, 2, 1).reshape(GROUP, -1)   # window-major
             buckets = _buckets_cols(self.table_flat, d, self.wbits)
             res = _combine_buckets_cols(buckets, self.wbits)  # (G, 3, NL)
-            outs.append(res[:g])
+            outs.append(res)
             np.asarray(outs[-1][0, 0, :1])  # host fetch: bound in-flight
+            base += GROUP
         return jnp.concatenate(outs, axis=0)
