@@ -183,6 +183,29 @@ def add(P, Q) -> tuple:
     return (X3, Y3, Z3)
 
 
+def add_mixed(P, Q_affine) -> tuple:
+    """Mixed add: P projective, Q_affine = (x, y) with implicit Z=1.
+
+    Q must NOT be the identity (MSM table points never are).  RCB16
+    Algorithm 8 semantics: complete in P (identity/double/inverse safe).
+    Dispatches to the fused Pallas kernel like `add`; the XLA fallback
+    simply runs the full add with Z2 = 1.
+    """
+    if (_pallas_wanted()
+            and P[0].shape == Q_affine[0].shape and P[0].ndim >= 2
+            and int(np.prod(P[0].shape[:-1])) >= _PALLAS_MIN_BATCH):
+        from . import pallas_limbs
+        shape = P[0].shape
+        flat = lambda c: c.reshape(-1, shape[-1])
+        out = pallas_limbs.fused_point_add_mixed(
+            tuple(flat(c) for c in P), tuple(flat(c) for c in Q_affine),
+            FQ.modulus)
+        return tuple(c.reshape(shape) for c in out)
+    x, y = Q_affine
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    return add(P, (x, y, one))
+
+
 def scalar_mul(P, scalar_digits: jnp.ndarray) -> tuple:
     """Batched double-and-add: scalar_digits (..., 32) canonical 8-bit limbs.
 

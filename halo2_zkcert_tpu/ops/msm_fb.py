@@ -170,7 +170,8 @@ def _buckets_all(table_flat, digits_flat, wbits: int):
     one = jnp.zeros_like(x).at[..., 0].set(1)
     P = (x, y, one)
     local, off, C = scanmod.prefix_scan_batched_local(
-        curve.add, lambda: curve.identity((1,)), P)
+        curve.add, lambda: curve.identity((1,)), P,
+        combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
     nbuckets = 1 << wbits
     ident = curve.identity((nbuckets,))
     buckets = None
@@ -242,7 +243,8 @@ def _buckets_cols(table_flat, digits_cols, wbits: int):
     x, y = pts[..., 0, :], pts[..., 1, :]
     one = jnp.zeros_like(x).at[..., 0].set(1)
     local, off, C = scanmod.prefix_scan_batched_local(
-        curve.add, lambda: curve.identity((1,)), (x, y, one))
+        curve.add, lambda: curve.identity((1,)), (x, y, one),
+        combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
     nbuckets = 1 << wbits
     ident = curve.identity((nbuckets,))
     per_col = []

@@ -46,14 +46,22 @@ LANES = 512                # batch lanes per block (4 lane-tiles)
 _INV256 = np.float32(1.0 / 256.0)
 
 
-def _carry3(x):
-    """Three carry-relaxation passes; keeps values in-place (ROWS, B)."""
-    for _ in range(3):
+def _carry(x, passes: int = 3):
+    """Carry-relaxation passes; keeps values in-place (ROWS, B).
+
+    Convergence: one pass maps limb bound M -> 255 + M/256, so
+    M <= 640 needs 1 pass, M <= 66K needs 2, M <= 16M needs 3 to reach
+    the relaxed-class bound (~320)."""
+    for _ in range(passes):
         hi = jnp.floor(x * _INV256)
         lo = x - hi * 256.0
         x = lo + jnp.concatenate(
             [jnp.zeros_like(hi[:1]), hi[:-1]], axis=0)
     return x
+
+
+def _carry3(x):
+    return _carry(x, 3)
 
 
 def _fold(x, fold_rows, nrows: int):
@@ -87,18 +95,37 @@ def _fold(x, fold_rows, nrows: int):
 # rounds from every mul — the dominant cost in the RCB16 group law.
 _CONV_ROWS = 35
 
+# MXU fold (the mul reduction): the conv's high rows 32..69 byte-split into
+# three <=255 planes and folded mod p by ONE (32, 128) x (128, B) matmul.
+# Both matmul operands are integers <= 255 — exactly bf16-representable —
+# so the default single-pass bf16 MXU matmul with f32 accumulation is EXACT
+# (products <= 255^2, sums over 114 terms <= 7.4M < 2^24).  This replaces
+# the 38-step shift-add fold + one 80-row carry sweep of the earlier
+# reduction (~40% of every mul's VPU work) with one MXU pass.
+_MXU_K = 128          # padded contraction dim (3 x 38 byte planes + zeros)
 
-def _reduce_mul(x, fold_rows):
-    """conv output (<= 2^24 coeffs, rows 0..69 in a (2*ROWS, B) buf) ->
-    relaxed class (ROWS, B)."""
-    x = _carry3(x)
-    x = _fold(x, fold_rows, ROWS)                                # (40, B)
-    x = _carry3(x)
-    x = _fold(x, fold_rows, 3)
-    return _carry3(x)
+
+def _reduce_mul(x, fold_mxu):
+    """conv output (coeffs <= 3.6M, rows 0..68 of a (2*ROWS, B) buf) ->
+    relaxed class (ROWS, B) via the MXU byte-fold."""
+    B = x.shape[1]
+    lo = x[:32]
+    hi = x[32:70]                                        # (38, B) <= 3.6M
+    q0 = jnp.floor(hi * _INV256)
+    b0 = hi - q0 * 256.0                                 # <= 255
+    b2 = jnp.floor(q0 * _INV256)                         # <= 54
+    b1 = q0 - b2 * 256.0                                 # <= 255
+    xs = jnp.concatenate(
+        [b0, b1, b2, jnp.zeros((_MXU_K - 114, B), jnp.float32)], axis=0)
+    folded = jax.lax.dot_general(
+        fold_mxu, xs, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (32, B) <= 7.4M
+    acc = jnp.concatenate(
+        [lo + folded, jnp.zeros((ROWS - 32, B), jnp.float32)], axis=0)
+    return _carry3(acc)                                  # limbs <= ~258
 
 
-def _mk_ops(fold_rows, pad_wide):
+def _mk_ops(fold_rows, fold_mxu, pad_wide):
     """In-kernel field ops over (ROWS, B) f32 planes (relaxed class).
 
     Returns (mul, add, sub, small, finalize); `finalize` must be applied
@@ -110,30 +137,36 @@ def _mk_ops(fold_rows, pad_wide):
         for i in range(_CONV_ROWS):
             term = a[i:i + 1] * b                                # (40, B)
             acc = acc + jnp.pad(term, ((i, 2 * ROWS - ROWS - i), (0, 0)))
-        return _reduce_mul(acc, fold_rows)
+        return _reduce_mul(acc, fold_mxu)
 
     def add(a, b):
-        # carry-only: rows 33/34 accumulate <= 1 carry per add, so only
-        # pathological >10^2-long pure-add chains (none exist: every gate/
-        # group-law chain passes through mul/sub/small, which fold) could
-        # push a carry past the conv window
-        return _carry3(a + b)
+        # carry-only, ONE pass (sum <= 640 -> limbs <= 257): rows 33/34
+        # accumulate <= 1 carry per add, so only pathological >10^2-long
+        # pure-add chains (none exist: every gate/group-law chain passes
+        # through mul/sub/small, which fold) could push a carry past the
+        # conv window
+        return _carry(a + b, 1)
 
     def sub(a, b):
         # the pad's top digit lands in row 34 and carries into row 35;
-        # fold rows 32..35 back down so the row invariant holds
-        x = _carry3(a + (pad_wide[:, None] - b))
-        return _carry3(_fold(x, fold_rows, 4))
+        # fold rows 32..35 back down so the row invariant holds.
+        # Bounds: a + pad - b <= 2367 -> carry2 -> <= 265; fold4 adds
+        # <= 4*265*255 ~ 270K -> carry2 -> <= 261.
+        x = _carry(a + (pad_wide[:, None] - b), 2)
+        return _carry(_fold(x, fold_rows, 4), 2)
 
     def small(a, k):
-        x = _carry3(a * np.float32(k))
-        return _carry3(_fold(x, fold_rows, 4))
+        # k < 2^12: a*k <= 1.4M -> carry3 -> <= 261; fold4 -> carry2
+        x = _carry(a * np.float32(k), 3)
+        return _carry(_fold(x, fold_rows, 4), 2)
 
     def finalize(x):
+        # x <= ~320 rows 0..34 -> fold4 <= 327K -> carry2 <= 260 ->
+        # fold3 <= 199K -> carry2 <= 259, rows >= 33 zero (resident)
         x = _fold(x, fold_rows, 4)
-        x = _carry3(x)
+        x = _carry(x, 2)
         x = _fold(x, fold_rows, 3)
-        return _carry3(x)
+        return _carry(x, 2)
 
     return mul, add, sub, small, finalize
 
@@ -141,11 +174,11 @@ def _mk_ops(fold_rows, pad_wide):
 B3 = 9
 
 
-def _rcb16_add_kernel(fold_ref, pad_ref, x1_ref, y1_ref, z1_ref,
+def _rcb16_add_kernel(fold_ref, mxu_ref, pad_ref, x1_ref, y1_ref, z1_ref,
                       x2_ref, y2_ref, z2_ref, ox_ref, oy_ref, oz_ref):
     """Complete projective add (RCB16 Alg 7, a=0, b3=9): 12M straight-line,
     everything in VMEM."""
-    mul, add, sub, small, fin = _mk_ops(fold_ref[:], pad_ref[:])
+    mul, add, sub, small, fin = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
     X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
     X2, Y2, Z2 = x2_ref[:], y2_ref[:], z2_ref[:]
     t0 = mul(X1, X2)
@@ -170,25 +203,52 @@ def _rcb16_add_kernel(fold_ref, pad_ref, x1_ref, y1_ref, z1_ref,
     oz_ref[:] = fin(Z3o)
 
 
-def _mul_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
-    mul, _, _, _, fin = _mk_ops(fold_ref[:], pad_ref[:])
+def _rcb16_madd_kernel(fold_ref, mxu_ref, pad_ref, x1_ref, y1_ref, z1_ref,
+                       x2_ref, y2_ref, ox_ref, oy_ref, oz_ref):
+    """Mixed projective+affine add (RCB16 Alg 8 specialization of Alg 7
+    with Z2=1): 11M — complete for every P as long as Q is affine (not the
+    identity; MSM table points never are)."""
+    mul, add, sub, small, fin = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
+    X1, Y1, Z1 = x1_ref[:], y1_ref[:], z1_ref[:]
+    X2, Y2 = x2_ref[:], y2_ref[:]
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))                    # X1Y2 + X2Y1
+    t4 = add(mul(X2, Z1), X1)                    # X1Z2 + X2Z1
+    t5 = add(mul(Y2, Z1), Y1)                    # Y1Z2 + Y2Z1
+    t0 = small(t0, 3)
+    t2 = small(Z1, B3)                           # b3 Z1Z2
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = small(t4, B3)
+    X3o = sub(mul(t3, t1), mul(t5, Y3))
+    Y3o = add(mul(t1, Z3), mul(Y3, t0))
+    Z3o = add(mul(Z3, t5), mul(t0, t3))
+    ox_ref[:] = fin(X3o)
+    oy_ref[:] = fin(Y3o)
+    oz_ref[:] = fin(Z3o)
+
+
+def _mul_kernel(fold_ref, mxu_ref, pad_ref, a_ref, b_ref, o_ref):
+    mul, _, _, _, fin = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
     o_ref[:] = fin(mul(a_ref[:], b_ref[:]))
 
 
-def _add_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
-    _, add, _, _, fin = _mk_ops(fold_ref[:], pad_ref[:])
+def _add_kernel(fold_ref, mxu_ref, pad_ref, a_ref, b_ref, o_ref):
+    _, add, _, _, fin = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
     o_ref[:] = fin(add(a_ref[:], b_ref[:]))
 
 
-def _sub_kernel(fold_ref, pad_ref, a_ref, b_ref, o_ref):
-    _, _, sub, _, fin = _mk_ops(fold_ref[:], pad_ref[:])
+def _sub_kernel(fold_ref, mxu_ref, pad_ref, a_ref, b_ref, o_ref):
+    _, _, sub, _, fin = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
     o_ref[:] = fin(sub(a_ref[:], b_ref[:]))
 
 
-def _rcb16_dbl_kernel(fold_ref, pad_ref, x_ref, y_ref, z_ref,
+def _rcb16_dbl_kernel(fold_ref, mxu_ref, pad_ref, x_ref, y_ref, z_ref,
                       ox_ref, oy_ref, oz_ref):
     """Complete projective double (RCB16 Alg 9, a=0, b3=9): 6M+2S."""
-    mul, add, sub, small, fin = _mk_ops(fold_ref[:], pad_ref[:])
+    mul, add, sub, small, fin = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
     X, Y, Z = x_ref[:], y_ref[:], z_ref[:]
     t0 = mul(Y, Y)
     Z3 = small(t0, 8)
@@ -226,11 +286,17 @@ def _consts(modulus: int):
     spec = FQ if modulus == FQ.modulus else FR
     fold = np.zeros((ROWS, 32), np.float32)
     fold[:spec.FOLD_ROWS] = spec.fold_mat.astype(np.float32)
+    # MXU byte-fold matrix: column k*38+j folds byte k of conv row 32+j,
+    # i.e. the limbs of 2^(8*(32+j+k)) mod p = fold_mat[j+k] (j+k <= 39).
+    mxu = np.zeros((32, _MXU_K), np.float32)
+    for k in range(3):
+        for j in range(38):
+            mxu[:, k * 38 + j] = spec.fold_mat[j + k].astype(np.float32)
     pad = np.zeros(ROWS, np.float32)
     wide = spec.sub_pad_wide()
     pad[:len(wide)] = wide.astype(np.float32)
     with jax.ensure_compile_time_eval():
-        return jnp.asarray(fold), jnp.asarray(pad)
+        return jnp.asarray(fold), jnp.asarray(mxu), jnp.asarray(pad)
 
 
 def _to_planes(arr):
@@ -254,50 +320,75 @@ def _pad_lanes(x, n):
 _INTERPRET = bool(os.environ.get("H2T_PALLAS_INTERPRET"))
 
 
+def _const_specs():
+    return [
+        pl.BlockSpec((ROWS, 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((32, _MXU_K), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+
+
 @partial(jax.jit, static_argnames=("modulus",))
 def fused_point_add(P, Q, modulus: int):
     """Batched RCB16 add: P, Q tuples of (N, NL) int32 -> same."""
-    fold, pad_c = _consts(modulus)
+    consts = _consts(modulus)
     n = P[0].shape[0]
     planes = [_pad_lanes(_to_planes(c), n)[0] for c in (*P, *Q)]
     npad = planes[0].shape[1]
     grid = npad // LANES
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _rcb16_add_kernel,
         grid=(grid,),
-        in_specs=[cspec, pspec] + [spec] * 6,
+        in_specs=_const_specs() + [spec] * 6,
         out_specs=[spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((ROWS, npad), jnp.float32)] * 3,
         interpret=_INTERPRET,
-    )(fold, pad_c, *planes)
+    )(*consts, *planes)
+    return tuple(_from_planes(o)[:n] for o in out)
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_point_add_mixed(P, Q_affine, modulus: int):
+    """Batched RCB16 mixed add: P projective tuple of (N, NL) int32,
+    Q_affine = (x, y) tuple of (N, NL) int32 with Z == 1 implied."""
+    consts = _consts(modulus)
+    n = P[0].shape[0]
+    planes = [_pad_lanes(_to_planes(c), n)[0] for c in (*P, *Q_affine)]
+    npad = planes[0].shape[1]
+    grid = npad // LANES
+    spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _rcb16_madd_kernel,
+        grid=(grid,),
+        in_specs=_const_specs() + [spec] * 5,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, npad), jnp.float32)] * 3,
+        interpret=_INTERPRET,
+    )(*consts, *planes)
     return tuple(_from_planes(o)[:n] for o in out)
 
 
 def _binary_call(kernel, a, b, modulus: int):
     """Shared driver for elementwise binary field kernels on (N, NL)."""
-    fold, pad_c = _consts(modulus)
+    consts = _consts(modulus)
     n = a.shape[0]
     ap, npad = _pad_lanes(_to_planes(a), n)
     bp, _ = _pad_lanes(_to_planes(b), n)
     grid = npad // LANES
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[cspec, pspec, spec, spec],
+        in_specs=_const_specs() + [spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((ROWS, npad), jnp.float32),
         interpret=_INTERPRET,
-    )(fold, pad_c, ap, bp)
+    )(*consts, ap, bp)
     return _from_planes(out)[:n]
 
 
@@ -320,22 +411,19 @@ def fused_sub(a, b, modulus: int):
 @partial(jax.jit, static_argnames=("modulus",))
 def fused_point_double(P, modulus: int):
     """Batched RCB16 double: P tuple of (N, NL) int32 -> same."""
-    fold, pad_c = _consts(modulus)
+    consts = _consts(modulus)
     n = P[0].shape[0]
     planes = [_pad_lanes(_to_planes(c), n)[0] for c in P]
     npad = planes[0].shape[1]
     grid = npad // LANES
     spec = pl.BlockSpec((ROWS, LANES), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((ROWS,), lambda i: (0,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _rcb16_dbl_kernel,
         grid=(grid,),
-        in_specs=[cspec, pspec] + [spec] * 3,
+        in_specs=_const_specs() + [spec] * 3,
         out_specs=[spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((ROWS, npad), jnp.float32)] * 3,
         interpret=_INTERPRET,
-    )(fold, pad_c, *planes)
+    )(*consts, *planes)
     return tuple(_from_planes(o)[:n] for o in out)

@@ -77,7 +77,7 @@ def suffix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
 
 
 def prefix_scan_batched_local(combine, identity1, xs: tuple,
-                              base: int = _ROLLED):
+                              base: int = _ROLLED, combine_first=None):
     """Batched grid scan WITHOUT the final row-offset pass.
 
     Returns (local, offsets, C): `local` (B, n, ...) holds prefixes local
@@ -85,7 +85,11 @@ def prefix_scan_batched_local(combine, identity1, xs: tuple,
     the true prefix at flat index i is combine(offsets[i // C], local[i]).
     Callers that only read the prefix at few positions (segment-boundary
     extraction) apply offsets at those positions instead of paying a full
-    n-wide combine."""
+    n-wide combine.
+
+    `combine_first`, if given, replaces `combine` in the LEVEL-1 pass,
+    where the right operand is always an ORIGINAL input element — MSM
+    bucket scans use a cheaper mixed add there (table points are affine)."""
     B, n = xs[0].shape[0], xs[0].shape[1]
     if n <= base:
         pref = prefix_scan_batched(combine, identity1, xs, base)
@@ -96,6 +100,7 @@ def prefix_scan_batched_local(combine, identity1, xs: tuple,
     assert n % C == 0, n
     R = n // C
     grid = tuple(c.reshape((B, R, C) + c.shape[2:]) for c in xs)
+    comb1 = combine_first or combine
 
     def body(j, g):
         prev = tuple(jax.lax.dynamic_slice_in_dim(c, j - 1, 1,
@@ -103,7 +108,7 @@ def prefix_scan_batched_local(combine, identity1, xs: tuple,
                      for c in g)
         cur = tuple(jax.lax.dynamic_slice_in_dim(c, j, 1, axis=2)[:, :, 0]
                     for c in g)
-        s = combine(prev, cur)
+        s = comb1(prev, cur)
         return tuple(jax.lax.dynamic_update_slice_in_dim(
             c, v[:, :, None], j, axis=2) for c, v in zip(g, s))
 

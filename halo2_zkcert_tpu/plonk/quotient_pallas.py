@@ -134,14 +134,15 @@ def make_kernel(plan: QuotientPlan):
     nconst = len(plan.consts)
 
     def kernel(*refs):
-        fold_ref, pad_ref = refs[0], refs[1]
-        plane_refs = refs[2:2 + nleaves]
-        ch_refs = refs[2 + nleaves:2 + nleaves + plan.nch]
-        const_refs = refs[2 + nleaves + plan.nch:
-                          2 + nleaves + plan.nch + nconst]
-        out_ref = refs[2 + nleaves + plan.nch + nconst]
+        fold_ref, mxu_ref, pad_ref = refs[0], refs[1], refs[2]
+        plane_refs = refs[3:3 + nleaves]
+        ch_refs = refs[3 + nleaves:3 + nleaves + plan.nch]
+        const_refs = refs[3 + nleaves + plan.nch:
+                          3 + nleaves + plan.nch + nconst]
+        out_ref = refs[3 + nleaves + plan.nch + nconst]
 
-        mul, add, sub, small, fin = PL._mk_ops(fold_ref[:], pad_ref[:])
+        mul, add, sub, small, fin = PL._mk_ops(fold_ref[:], mxu_ref[:],
+                                               pad_ref[:])
         T = out_ref.shape[1]
 
         ones_plane = jnp.zeros((ROWS, T), jnp.float32) + 1.0
@@ -318,7 +319,7 @@ class QuotientPallas:
         na = csys.num_advice
         stride = self.stride
         kernel = self.kernel
-        fold, pad_c = PL._consts(rc.FR)
+        fold, fold_mxu, pad_c = PL._consts(rc.FR)
 
         def jfn(col_ext, permz_ext, lkz_ext, lka_ext, lks_ext, chal,
                 static_list):
@@ -351,6 +352,8 @@ class QuotientPallas:
                                  memory_space=pltpu.VMEM)
             cspec = pl.BlockSpec((ROWS, 32), lambda i: (0, 0),
                                  memory_space=pltpu.VMEM)
+            mxuspec = pl.BlockSpec((32, PL._MXU_K), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
             padspec = pl.BlockSpec((ROWS,), lambda i: (0,),
                                    memory_space=pltpu.VMEM)
             chspec = pl.BlockSpec((ROWS, 128), lambda i: (0, 0),
@@ -358,12 +361,12 @@ class QuotientPallas:
             out = pl.pallas_call(
                 kernel,
                 grid=(grid,),
-                in_specs=[cspec, padspec] + [pspec] * len(planes)
+                in_specs=[cspec, mxuspec, padspec] + [pspec] * len(planes)
                          + [chspec] * (plan.nch + len(const_cols)),
                 out_specs=pspec,
                 out_shape=jax.ShapeDtypeStruct((ROWS, ext_n), jnp.float32),
                 interpret=PL._INTERPRET,
-            )(fold, pad_c, *planes, *ch_planes, *const_planes)
+            )(fold, fold_mxu, pad_c, *planes, *ch_planes, *const_planes)
             return out[:NL].T.astype(jnp.int32)
 
         # per-pk constant columns (ROWS,) f32, passed as replicated planes
