@@ -262,6 +262,46 @@ class RsaCircuit:
         self.cs = cs
         self.data = CircuitData(cs=cs, k=self.k, fixed=fixed,
                                 copies=self.copies, num_instance=[32])
+        self._build_phase1_program(fixed)
+
+    def _build_phase1_program(self, fixed) -> None:
+        """Static (per-circuit) arrays driving the DEVICE phase-1 witness.
+
+        The A column is the affine recurrence A[r] = m[r]*A[r-1] + b[r]
+        with m[r] in {0, 1, tau} (selected by F_PASS/F_TAU) and
+        b[r] = fv*V[r] + fn*nval[r] + fone — a parallel prefix scan under
+        the (m, b) composition monoid, replacing the reference-shaped
+        host loop (halo2-base assigns cells sequentially [dep]; on TPU
+        the column is one scan program).  Relation rows (qh=0) are then
+        scatter-filled from their source eval rows.
+        """
+        n = self.n
+        F = self.__class__
+        qh = np.asarray([int(x) for x in fixed[F.F_QH]], np.int32)
+        fpass = np.asarray([int(x) for x in fixed[F.F_PASS]], np.int32)
+        ftau = np.asarray([int(x) for x in fixed[F.F_TAU]], np.int32)
+        fv = np.asarray([int(x) for x in fixed[F.F_V]], np.int32)
+        fn_ = np.asarray([int(x) for x in fixed[F.F_N]], np.int32)
+        fone = np.asarray([int(x) for x in fixed[F.F_ONE]], np.int32)
+        nval = np.asarray([int(x) for x in fixed[F.F_NVAL]], np.int64)
+        # m selector: 0 = zero, 1 = one, 2 = tau (never both flags set)
+        self._msel = (qh * (fpass + 2 * ftau)).astype(np.int32)
+        self._b_const = qh.astype(np.int64) * (fn_ * nval + fone)
+        self._b_vmask = (qh * fv).astype(np.int64)
+        dst, src = [], []
+        ev = lambda name: self.regions[name].eval_row
+        for g in range(NUM_SQUARINGS + 1):
+            base = self.regions[f"rel{g}"].start
+            x_src = ev("sig") if g == 0 else ev(f"z{g-1}")
+            y_src = x_src if g < NUM_SQUARINGS else ev("sig")
+            z_src = ev(f"z{g}") if g < NUM_SQUARINGS else ev("em")
+            srcs = [x_src, y_src, ev(f"q{g}"), z_src, ev(f"clo{g}"),
+                    ev(f"chi{g}"), ev("mod"), ev("ones")]
+            for s, sr in enumerate(srcs):
+                dst.append(base + s)
+                src.append(sr)
+        self._rel_dst = np.asarray(dst, np.int32)
+        self._rel_src = np.asarray(src, np.int32)
 
     def _em_template(self) -> list:
         """EM limbs MSB-first: (limb_index, 'const'|'hash', payload).
@@ -360,10 +400,6 @@ class RsaCircuit:
             V[row] = em_limbs[L - 1 - i]
 
         instances = [[digest[i] for i in range(32)]]
-        mod_limbs_msb = list(reversed(_limbs_of(nmod, L)))
-
-        fixed = self.data.fixed
-        F = self.__class__
 
         def witness_fn(phase: int, challenges: dict):
             if phase == 0:
@@ -372,35 +408,24 @@ class RsaCircuit:
                 arr[:, 0] = vv & 0xFF
                 arr[:, 1] = vv >> 8
                 return {self.COL_V: jnp.asarray(arr)}
-            tau = challenges[0]
-            A = [0] * n_rows
-            for r in range(1, self.cs.usable_rows(n_rows)):
-                if fixed[F.F_QH][r] == 0:
-                    continue
-                acc = 0
-                if fixed[F.F_PASS][r]:
-                    acc += A[r - 1]
-                if fixed[F.F_TAU][r]:
-                    acc += A[r - 1] * tau
-                if fixed[F.F_V][r]:
-                    acc += V[r]
-                if fixed[F.F_N][r]:
-                    acc += int(fixed[F.F_NVAL][r])
-                if fixed[F.F_ONE][r]:
-                    acc += 1
-                A[r] = acc % rc.FR
-            # relation rows: copied eval values
-            ev = lambda name: A[self.regions[name].eval_row]
-            for g in range(NUM_SQUARINGS + 1):
-                base = self.regions[f"rel{g}"].start
-                x_e = ev("sig") if g == 0 else ev(f"z{g-1}")
-                y_e = x_e if g < NUM_SQUARINGS else ev("sig")
-                z_e = ev(f"z{g}") if g < NUM_SQUARINGS else ev("em")
-                vals = [x_e, y_e, ev(f"q{g}"), z_e, ev(f"clo{g}"),
-                        ev(f"chi{g}"), ev("mod"), ev("ones")]
-                for s, val in enumerate(vals):
-                    A[base + s] = val
-            return {self.COL_A: Fr.from_ints(A)}
+            # phase 1: the A column is ONE device scan program (see
+            # _build_phase1_program) instead of a host loop over 2^k rows.
+            from ..ops import frops
+            tau = challenges[0] % rc.FR
+            b_ints = self._b_const + self._b_vmask * np.asarray(V, np.int64)
+            b = np.zeros((n_rows, limb_ops.NLIMBS), dtype=np.int32)
+            b[:, 0] = b_ints & 0xFF
+            b[:, 1] = (b_ints >> 8) & 0xFF
+            b[:, 2] = b_ints >> 16                    # b < 2^17 + 2^8
+            msel = jnp.asarray(self._msel)[:, None]
+            one_l = jnp.zeros((limb_ops.NLIMBS,), jnp.int32).at[0].set(1)
+            tau_l = Fr.from_ints([tau])[0]
+            m = jnp.where(msel == 1, one_l[None],
+                          jnp.where(msel == 2, tau_l[None], 0))
+            A = frops.affine_scan(m, jnp.asarray(b))
+            A = A.at[jnp.asarray(self._rel_dst)].set(
+                A[jnp.asarray(self._rel_src)])
+            return {self.COL_A: A}
 
         return witness_fn, instances
 

@@ -53,6 +53,28 @@ def prefix_product(a: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def affine_scan(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive scan of the affine recurrence A[i] = m[i]*A[i-1] + b[i]
+    with A[-1] = 0, over axis 0 (m, b: (n, NL) Fr limbs).
+
+    The (m, b) pairs compose associatively:
+    (m1,b1) then (m2,b2) = (m2*m1, m2*b1 + b2); identity (1, 0)."""
+
+    def combine(l, r):
+        ml, bl = l
+        mr, br = r
+        return (limbs.mul(FR, mr, ml),
+                limbs.add(FR, limbs.mul(FR, mr, bl), br))
+
+    def ident1():
+        one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
+        return (one, jnp.zeros((1, NL), jnp.int32))
+
+    _, a_vals = scanmod.prefix_scan(combine, ident1, (m, b))
+    return a_vals
+
+
+@jax.jit
 def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery batch inversion over axis 0 (one Fermat inversion total).
 
@@ -101,6 +123,52 @@ def poly_eval(coeffs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Evaluate sum_i coeffs[i] x^i.  coeffs (N, NL), x (NL,) -> (NL,)."""
     pw = powers(x, coeffs.shape[0])
     return tree_sum(_mul(coeffs, pw))
+
+
+@jax.jit
+def tree_sum_batched(a: jnp.ndarray) -> jnp.ndarray:
+    """Batched sum mod r over axis 1: (q, n, NL) -> (q, NL)."""
+    x = a
+    while x.shape[1] > 1:
+        n = x.shape[1]
+        c = min(n, 4096)
+        pad = (-n) % c
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x = x.reshape(x.shape[0], -1, c, NL).sum(axis=2)
+        x = limbs.partial_reduce(FR, x, rounds=3)
+    return x[:, 0]
+
+
+@jax.jit
+def bary_weights(omega_pows: jnp.ndarray, xs: jnp.ndarray,
+                 scales: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric evaluation weights over the domain H = {omega^i}.
+
+    For each point x_j (not in H): w_j[i] = scale_j * omega^i / (x_j - omega^i)
+    with scale_j = (x_j^n - 1)/n computed host-side.  Then p(x_j) =
+    sum_i values[i] * w_j[i] — evaluation STRAIGHT FROM LAGRANGE VALUES,
+    no coefficient conversion (reference evaluates coefficient polys
+    [dep halo2_proofs]; the values are identical field elements).
+
+    omega_pows (n, NL); xs, scales (p, NL) -> (p, n, NL).
+    """
+    p, n = xs.shape[0], omega_pows.shape[0]
+    denom = limbs.sub(FR, jnp.broadcast_to(xs[:, None], (p, n, NL)),
+                      omega_pows[None])
+    dinv = batch_inv(denom.reshape(p * n, NL)).reshape(p, n, NL)
+    return _mul(_mul(jnp.broadcast_to(omega_pows[None], (p, n, NL)), dinv),
+                jnp.broadcast_to(scales[:, None], (p, n, NL)))
+
+
+@jax.jit
+def eval_lagrange_many(values: jnp.ndarray, weights: jnp.ndarray,
+                       widx: jnp.ndarray) -> jnp.ndarray:
+    """Batched barycentric evals: values (q, n, NL) Lagrange columns,
+    weights (p, n, NL) from `bary_weights`, widx (q,) point index per
+    column -> (q, NL) evaluations, one fused program."""
+    w = weights[widx]                               # (q, n, NL)
+    return tree_sum_batched(_mul(values, w))
 
 
 @jax.jit

@@ -106,8 +106,14 @@ _MXU_K = 128          # padded contraction dim (3 x 38 byte planes + zeros)
 
 
 def _reduce_mul(x, fold_mxu):
-    """conv output (coeffs <= 3.6M, rows 0..68 of a (2*ROWS, B) buf) ->
-    relaxed class (ROWS, B) via the MXU byte-fold."""
+    """conv output (rows 0..68 of a (2*ROWS, B) buf) -> relaxed class
+    (ROWS, B) via the MXU byte-fold.
+
+    Worst-case coefficients: fused_mul feeds two RESIDENT-class operands
+    (limbs <= 511), so conv coeffs reach 33*511^2 ~ 8.6M and lo+folded
+    ~ 14.8M — still f32-exact (< 2^24) and within carry3 convergence
+    (16M), but the margin to the 2^24 ceiling is thin; relaxed-class
+    operands (<= 320) give the more comfortable 3.6M."""
     B = x.shape[1]
     lo = x[:32]
     hi = x[32:70]                                        # (38, B) <= 3.6M
@@ -140,7 +146,9 @@ def _mk_ops(fold_rows, fold_mxu, pad_wide):
         return _reduce_mul(acc, fold_mxu)
 
     def add(a, b):
-        # carry-only, ONE pass (sum <= 640 -> limbs <= 257): rows 33/34
+        # carry-only, ONE pass.  Worst case is RESIDENT kernel inputs
+        # (limbs <= 511): a + b <= 1022 -> one pass -> <= 259; relaxed
+        # operands (<= 320) give sum <= 640 -> <= 257.  Rows 33/34
         # accumulate <= 1 carry per add, so only pathological >10^2-long
         # pure-add chains (none exist: every gate/group-law chain passes
         # through mul/sub/small, which fold) could push a carry past the

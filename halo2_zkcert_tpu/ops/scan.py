@@ -66,7 +66,9 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
                 for i, t in zip(identity1(), tot_scan))
     off_b = tuple(jnp.broadcast_to(o[:, None], c.shape)
                   for o, c in zip(off, grid))
-    out = combine(grid, off_b)
+    # offsets are the EARLIER operand: combine(prefix-so-far, local) —
+    # required for non-commutative monoids (e.g. affine-recurrence pairs)
+    out = combine(off_b, grid)
     return tuple(c.reshape((n,) + c.shape[2:]) for c in out)
 
 
@@ -165,5 +167,5 @@ def prefix_scan_batched(combine, identity1, xs: tuple,
                 for i, t in zip(ident_b, tot_scan))
     off_b = tuple(jnp.broadcast_to(o[:, :, None], c.shape)
                   for o, c in zip(off, grid))
-    out = combine(grid, off_b)
+    out = combine(off_b, grid)   # earlier operand first (non-commutative safe)
     return tuple(c.reshape((B, n) + c.shape[3:]) for c in out)

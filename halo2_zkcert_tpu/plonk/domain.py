@@ -130,6 +130,17 @@ class Domain:
         """Pointwise h = numerator / Z_H on the extended coset domain."""
         return frops.mul(extended_values, jnp.asarray(self.zh_inv_extended))
 
+    @cached_property
+    def omega_pows_device(self) -> jnp.ndarray:
+        """(n, NLIMBS) device table [1, omega, omega^2, ...] — shared by
+        barycentric evaluation and values-domain SHPLONK."""
+        return jnp.asarray(ntt._power_table(self.omega, self.n))
+
+    def bary_scale(self, x: int) -> int:
+        """(x^n - 1) / n — the shared barycentric weight scale for x."""
+        return (pow(x, self.n, rc.FR) - 1) % rc.FR \
+            * rc.finv(self.n, rc.FR) % rc.FR
+
 
 @lru_cache(maxsize=16)
 def domain(k: int, quotient_degree: int) -> Domain:

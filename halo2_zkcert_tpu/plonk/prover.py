@@ -50,28 +50,6 @@ def instance_lagrange(vals: list, n: int) -> jnp.ndarray:
     return Fr.from_ints(padded)
 
 
-class _ExtCache:
-    """Lazy Lagrange->coeff->extended conversion cache for leaf columns."""
-
-    def __init__(self, dom: Domain, lagrange_cols: dict):
-        self.dom = dom
-        self.lag = lagrange_cols          # (kind, idx) -> (n, NL) array
-        self.coeff: dict = {}
-        self.ext: dict = {}
-
-    def coeff_of(self, kind, idx):
-        key = (kind, idx)
-        if key not in self.coeff:
-            self.coeff[key] = self.dom.lagrange_to_coeff(self.lag[key])
-        return self.coeff[key]
-
-    def ext_of(self, kind, idx):
-        key = (kind, idx)
-        if key not in self.ext:
-            self.ext[key] = self.dom.coeff_to_extended(self.coeff_of(kind, idx))
-        return self.ext[key]
-
-
 def _ext_rotate(dom: Domain, arr: jnp.ndarray, rot: int) -> jnp.ndarray:
     return jnp.roll(arr, -rot * (dom.extended_n // dom.n), axis=0)
 
@@ -110,28 +88,6 @@ def _eval_expr_lagrange(e: ex.Expr, n: int, advice, fixed, instance, challenges)
         add=frops.add, mul=frops.mul,
         scale=lambda a, s: frops.mul(a, _bcast(s % rc.FR, a.shape[0])),
     )
-
-
-def _permute_lookup(a_vals: list, s_vals: list, usable: int):
-    """halo2 lookup permutation (host): A' = sorted inputs; S' places each
-    first-occurrence of A' at the same row, filling the rest with leftover
-    table rows.  Raises if some input is not in the table."""
-    a_sorted = sorted(a_vals[:usable])
-    from collections import Counter
-    leftover = Counter(s_vals[:usable])
-    s_perm = [None] * usable
-    # first occurrences
-    for i, v in enumerate(a_sorted):
-        if i == 0 or a_sorted[i] != a_sorted[i - 1]:
-            if leftover[v] == 0:
-                raise ValueError(f"lookup failure: value {v} not in table")
-            leftover[v] -= 1
-            s_perm[i] = v
-    fill = iter(sorted(leftover.elements()))
-    for i in range(usable):
-        if s_perm[i] is None:
-            s_perm[i] = next(fill)
-    return a_sorted, s_perm
 
 
 def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
@@ -269,13 +225,14 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
         z_batch.append(z)
         lkd["z"] = z
-    # one batched commit + fetch for all grand-product columns
+
+    # -- 5: vanishing random poly — defined by its (uniform) VALUES over H
+    # and committed through the Lagrange SRS in the same batch as the
+    # grand-product columns (one device program fewer on the critical path)
+    random_vals = Fr.from_ints(rng.fill(n))
+    z_batch.append(random_vals)
     for pt in commit_many_lagrange(params, z_batch):
         transcript.write_point(pt)
-
-    # -- 5: vanishing random poly -------------------------------------------------
-    random_poly = Fr.from_ints(rng.fill(n))      # coefficient basis
-    transcript.write_point(params.commit(random_poly))
 
     _tick("grand products+random")
     y = transcript.squeeze_challenge()
@@ -300,8 +257,7 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     lkz_stack = stack_or_empty([d["z"] for d in lookups])
     lka_stack = stack_or_empty([d["a_perm"] for d in lookups])
     lks_stack = stack_or_empty([d["s_perm"] for d in lookups])
-    (h_pieces_stack, adv_coeff, permz_coeff,
-     lkz_coeff, lka_coeff, lks_coeff) = qfn(
+    h_pieces_stack = qfn(
         adv_stack, inst_stack, permz_stack, lkz_stack, lka_stack, lks_stack,
         chal)
     num_pieces = csys.quotient_degree
@@ -320,30 +276,25 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         term = frops.mul(piece, _bcast(xni, n))
         h_collapsed = term if h_collapsed is None else frops.add(h_collapsed, term)
         xni = xni * xn % rc.FR
-    # random poly is already coeff form
 
-    # -- 7: evaluations ------------------------------------------------------------
-    coeffs = {}
-
-    def coeff_of(name):
-        if name in coeffs:
-            return coeffs[name]
-        raise KeyError(name)
-
+    # -- 7: evaluations — barycentric, straight from the LAGRANGE VALUES
+    # already on device (no coefficient conversion; the only poly that
+    # lives in coefficient form is collapsed h: ONE forward NTT).
+    values = {}
     for i in range(csys.num_advice):
-        coeffs[f"advice{i}"] = adv_coeff[i]
+        values[f"advice{i}"] = advice_cols[i]
     for i in range(csys.num_fixed):
-        coeffs[f"fixed{i}"] = pk.fixed_coeff[i]
+        values[f"fixed{i}"] = pk.fixed_lagrange[i]
     for c in range(len(chunks)):
-        coeffs[f"perm_z{c}"] = permz_coeff[c]
-    for gpos in range(pk.sigma_coeff.shape[0]):
-        coeffs[f"sigma{gpos}"] = pk.sigma_coeff[gpos]
+        values[f"perm_z{c}"] = perm_zs[c]
+    for gpos in range(pk.sigma_lagrange.shape[0]):
+        values[f"sigma{gpos}"] = pk.sigma_lagrange[gpos]
     for li in range(len(lookups)):
-        coeffs[f"lookup{li}_z"] = lkz_coeff[li]
-        coeffs[f"lookup{li}_a"] = lka_coeff[li]
-        coeffs[f"lookup{li}_s"] = lks_coeff[li]
-    coeffs["random"] = random_poly
-    coeffs["h"] = h_collapsed
+        values[f"lookup{li}_z"] = lookups[li]["z"]
+        values[f"lookup{li}_a"] = lookups[li]["a_perm"]
+        values[f"lookup{li}_s"] = lookups[li]["s_perm"]
+    values["random"] = random_vals
+    values["h"] = dom.coeff_to_lagrange(h_collapsed)
 
     x_next = dom.rotate_omega(x, 1)
     x_prev = dom.rotate_omega(x, -1)
@@ -363,7 +314,7 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     for (i, r) in csys.fixed_queries:
         need(f"fixed{i}", dom.rotate_omega(x, r))
     need("random", x)
-    for gpos in range(pk.sigma_coeff.shape[0]):
+    for gpos in range(pk.sigma_lagrange.shape[0]):
         need(f"sigma{gpos}", x)
     for c in range(len(chunks)):
         need(f"perm_z{c}", x)
@@ -378,9 +329,16 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         need(f"lookup{li}_s", x)
     need("h", x)
 
-    polys_stack = jnp.stack([coeffs[nm] for nm, _ in pairs])
-    xs_stack = jnp.stack([_fr(pt) for _, pt in pairs])
-    res = np.asarray(frops.poly_eval_many(polys_stack, xs_stack))
+    points = []
+    for _, pt in pairs:
+        if pt not in points:
+            points.append(pt)
+    xs_stack = jnp.stack([_fr(pt) for pt in points])
+    scales = jnp.stack([_fr(dom.bary_scale(pt)) for pt in points])
+    weights = frops.bary_weights(dom.omega_pows_device, xs_stack, scales)
+    vals_stack = jnp.stack([values[nm] for nm, _ in pairs])
+    widx = jnp.asarray([points.index(pt) for _, pt in pairs], jnp.int32)
+    res = np.asarray(frops.eval_lagrange_many(vals_stack, weights, widx))
     evals = {pair: int(limbs.limbs_to_int(res[i]) % rc.FR)
              for i, pair in enumerate(pairs)}
 
@@ -393,7 +351,7 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     for (i, r) in csys.fixed_queries:
         transcript.write_scalar(ev(f"fixed{i}", dom.rotate_omega(x, r)))
     transcript.write_scalar(ev("random", x))
-    for gpos in range(pk.sigma_coeff.shape[0]):
+    for gpos in range(pk.sigma_lagrange.shape[0]):
         transcript.write_scalar(ev(f"sigma{gpos}", x))
     for c in range(len(chunks)):
         transcript.write_scalar(ev(f"perm_z{c}", x))
@@ -412,7 +370,7 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     queries = []
 
     def q(name, point):
-        queries.append(ProverQuery(poly=coeffs[name], point=point,
+        queries.append(ProverQuery(poly=values[name], point=point,
                                    eval=ev(name, point), name=name))
 
     for (i, r) in csys.advice_queries:
@@ -430,12 +388,12 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         q(f"lookup{li}_s", x)
     for (i, r) in csys.fixed_queries:
         q(f"fixed{i}", dom.rotate_omega(x, r))
-    for gpos in range(pk.sigma_coeff.shape[0]):
+    for gpos in range(pk.sigma_lagrange.shape[0]):
         q(f"sigma{gpos}", x)
     q("random", x)
     q("h", x)
 
-    open_shplonk(params, queries, transcript)
+    open_shplonk(params, queries, transcript, dom)
     _tick("multiopen")
     return transcript.finalize()
 
@@ -536,7 +494,8 @@ class _QuotientCtx:
 
 def _quotient_fn(pk: ProvingKey):
     """Returns `run(advice_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal)
-    -> (h_pieces, adv_coeff, permz_coeff, lkz_coeff, lka_coeff, lks_coeff)`.
+    -> h_pieces` (evals/multiopen consume Lagrange values directly, so the
+    intermediate coefficient forms never leave this pipeline).
 
     Internally: 2 batched NTT programs for the conversions + one fused
     jitted pointwise program for the whole constraint forest.
@@ -712,13 +671,6 @@ def _quotient_fn(pk: ProvingKey):
         na, ni = adv_lag.shape[0], inst_lag.shape[0]
         nz, nl_ = permz_lag.shape[0], lk_z.shape[0]
         o = 0
-        adv_coeff = coeff_all[o:o + na]; o += na
-        inst_coeff = coeff_all[o:o + ni]; o += ni
-        permz_coeff = coeff_all[o:o + nz]; o += nz
-        lkz_coeff = coeff_all[o:o + nl_]; o += nl_
-        lka_coeff = coeff_all[o:o + nl_]; o += nl_
-        lks_coeff = coeff_all[o:o + nl_]
-        o = 0
         col_ext = ext_all[:na + ni]; o = na + ni
         permz_ext = ext_all[o:o + nz]; o += nz
         lkz_ext = ext_all[o:o + nl_]; o += nl_
@@ -733,10 +685,8 @@ def _quotient_fn(pk: ProvingKey):
                                      lks_ext, chal, fixed_ext, sigma_ext,
                                      l0_ext_c, llast_ext_c, lblind_ext_c,
                                      ident_ext_c, zh_inv)
-        h_pieces = _ext2coeff_pieces(h_values, dom.extended_k,
-                                     dom.g_coset_inv, (qd, n))
-        return (h_pieces, adv_coeff, permz_coeff,
-                lkz_coeff, lka_coeff, lks_coeff)
+        return _ext2coeff_pieces(h_values, dom.extended_k,
+                                 dom.g_coset_inv, (qd, n))
 
     pk.__dict__["_quotient_prog"] = run
     return run

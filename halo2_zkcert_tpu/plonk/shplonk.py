@@ -34,7 +34,7 @@ NL = limbs.NLIMBS
 
 @dataclass
 class ProverQuery:
-    poly: jnp.ndarray     # (n, NL) coefficient array (monomial basis)
+    poly: jnp.ndarray     # (n, NL) LAGRANGE VALUES over the domain H
     point: int            # opening point (Fr int)
     eval: int             # claimed evaluation (Fr int) — must equal poly(point)
     name: str = ""        # stable identity: queries of the same poly share it
@@ -126,8 +126,20 @@ def _axpy(acc, poly, scalar: int):
     return frops.add(acc, term)
 
 
-def open_shplonk(params, queries, transcript):
-    """Prover side: runs the y/v/H/u/W' protocol on `transcript`."""
+def open_shplonk(params, queries, transcript, dom):
+    """Prover side: runs the y/v/H/u/W' protocol on `transcript`.
+
+    TPU-first reformulation: all polynomial arithmetic happens in the
+    LAGRANGE VALUES domain (queries carry values over H).  The divisions
+    by Z_{S_i}(X) and (X - u) become pointwise multiplications by
+    batched inverses — the vanishing points (transcript challenges and
+    their omega-rotations) are never in H, so Z never vanishes on the
+    domain.  [H] and [W'] are committed straight from values via the
+    Lagrange SRS; the resulting polynomials (and hence the proof bytes)
+    are mathematically identical to the reference's coefficient-domain
+    computation (halo2_proofs shplonk prover [dep] Cargo.lock:1320),
+    without any iNTT or sequential synthetic-division scans.
+    """
     rsets = _group_rotation_sets(queries)
     super_points = []
     for pts, _ in rsets:
@@ -137,7 +149,7 @@ def open_shplonk(params, queries, transcript):
 
     y = transcript.squeeze_challenge()
 
-    # Per set: P_i = sum_j y^j p_ij ; R_i = interp(points, combined evals)
+    # Per set: P_i = sum_j y^j p_ij (values) ; R_i = interp(points, evals)
     combined = []
     for pts, polys in rsets:
         P = None
@@ -151,20 +163,48 @@ def open_shplonk(params, queries, transcript):
         R = _lagrange_interpolate(list(pts), evs)
         combined.append((pts, P, R))
 
-    # h_i = (P_i - R_i) / prod (X - z)
     v = transcript.squeeze_challenge()
+
+    n = dom.n
+    omega_pows = dom.omega_pows_device              # (n, NL)
+
+    def bc(c: int):
+        return jnp.broadcast_to(Fr.from_ints([c % rc.FR])[0][None],
+                                (n, NL))
+
+    # omega power planes for evaluating the (deg < |S_i|) R_i over H
+    maxd = max(len(pts) for pts, _, _ in combined)
+    pwd = [None] * maxd
+    if maxd > 0:
+        pwd[0] = bc(1)
+    if maxd > 1:
+        pwd[1] = omega_pows
+    for d in range(2, maxd):
+        pwd[d] = frops.mul(pwd[d - 1], omega_pows)
+
+    # Z_{S_i}(omega^j) = prod_z (omega^j - z); one batched inversion
+    zvals = []
+    for pts, _, _ in combined:
+        z = None
+        for zpt in pts:
+            t = frops.sub(omega_pows, bc(zpt))
+            z = t if z is None else frops.mul(z, t)
+        zvals.append(z)
+    zinv = frops.batch_inv(jnp.concatenate(zvals, axis=0)) \
+        .reshape(len(combined), n, NL)
+
+    # h_i = (P_i - R_i) * Z_i^{-1} pointwise; H = sum v^i h_i
     H = None
     vk_pow = 1
-    for pts, P, R in combined:
-        num = P
-        r_arr = Fr.from_ints(R + [0] * 0)
-        num = num.at[: len(R)].set(frops.sub(num[: len(R)], r_arr))
-        h = num
-        for z in pts:
-            h = frops.poly_divide_linear(h, Fr.from_ints([z])[0])
+    for i, (pts, P, R) in enumerate(combined):
+        r_vals = None
+        for d, c in enumerate(R):
+            term = frops.mul(pwd[d], bc(c)) if d > 0 else bc(c)
+            r_vals = term if r_vals is None else frops.add(r_vals, term)
+        h = frops.mul(frops.sub(P, r_vals), zinv[i])
         H = _axpy(H, h, vk_pow)
         vk_pow = vk_pow * v % rc.FR
-    h_commit = params.commit(H)
+    h_commit = params.commit_lagrange(H)
     transcript.write_point(h_commit)
 
     u = transcript.squeeze_challenge()
@@ -179,13 +219,14 @@ def open_shplonk(params, queries, transcript):
         if z_diff_0 is None:
             z_diff_0 = z_i
         r_u = _eval_poly_host(R, u)
-        term = P.at[0].set(frops.sub(P[0], Fr.from_ints([r_u])[0]))
+        term = frops.sub(P, bc(r_u))
         L = _axpy(L, term, vk_pow * z_i % rc.FR)
         vk_pow = vk_pow * v % rc.FR
     L = _axpy(L, H, (-zt_eval) % rc.FR)
     L = _scale(L, rc.finv(z_diff_0, rc.FR))
-    W = frops.poly_divide_linear(L, Fr.from_ints([u])[0])
-    w_commit = params.commit(W)
+    # W' = L / (X - u): pointwise division over H (u not in H)
+    W = frops.mul(L, frops.batch_inv(frops.sub(omega_pows, bc(u))))
+    w_commit = params.commit_lagrange(W)
     transcript.write_point(w_commit)
 
 
