@@ -93,7 +93,8 @@ class RsaCircuit:
 
     def _build(self) -> None:
         cs = ConstraintSystem()
-        v = cs.advice_column(phase=0)
+        # V tape: 16-bit range-checked limbs -> bounded-window commits
+        v = cs.advice_column(phase=0, value_bits=16)
         a = cs.advice_column(phase=1)
         inst = cs.instance_column()
         tau = cs.challenge(phase=0)
@@ -117,8 +118,8 @@ class RsaCircuit:
         cs.create_gate("byte_pack", q_pack * (v - 256 * Vm(-2) - Vm(-1)))
         cs.create_gate("pin_const", q_const * (v - f_const))
 
-        cs.add_lookup("range16", [(v, t16)])
-        cs.add_lookup("range8", [(q_byte * v, t8)])
+        cs.add_lookup("range16", [(v, t16)], max_bits=16)
+        cs.add_lookup("range8", [(q_byte * v, t8)], max_bits=16)
 
         cs.enable_permutation(Column(ADVICE, self.COL_V))
         cs.enable_permutation(Column(ADVICE, self.COL_A))

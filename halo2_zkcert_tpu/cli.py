@@ -2,10 +2,12 @@
 (`/root/reference/src/bin/cli.rs:31-212`).
 
 Defaults mirror the reference where meaningful (build dir ./build, params
-dir ./params via $PARAMS_DIR, cert paths ./certs/cert_{i}.pem).  The
-`*-unoptimized-sha256` commands currently route to the same TPU-native
-SHA-256 circuit as the zkevm flavor (one arithmetization serves both roles;
-the gate-level variant is tracked as a round-2 item).
+dir ./params via $PARAMS_DIR, cert paths ./certs/cert_{i}.pem).  The two
+SHA-256 flavors are distinct circuits, as in the reference: `*-zkevm-*`
+drives the bit-plane circuit (circuits/sha256.py, the zkevm-hashes role)
+and `*-unoptimized-*` the gate-level builder circuit
+(circuits/sha256_gate.py, the halo2-sha256-unoptimized role,
+helpers.rs:174-199).
 """
 from __future__ import annotations
 
@@ -48,22 +50,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pk-path", default="./build/rsa.pk")
     p.add_argument("--proof-path", default="./build/rsa.proof")
 
-    for name, helpmsg in (("gen-zkevm-sha256-keys", "SHA256 circuit keygen (cli.rs:80)"),
-                          ("gen-unoptimized-sha256-keys",
-                           "gate-level SHA256 keygen (cli.rs:66; same circuit here)")):
+    for name, helpmsg, stem in (
+            ("gen-zkevm-sha256-keys", "SHA256 bit circuit keygen (cli.rs:80)",
+             "zkevm_sha256"),
+            ("gen-unoptimized-sha256-keys",
+             "gate-level SHA256 keygen (cli.rs:66)", "unoptimized_sha256")):
         p = sub.add_parser(name, help=helpmsg)
         _add_common(p, 0)
         p.add_argument("--cert-path", default="./certs/cert_3.pem")
-        p.add_argument("--pk-path", default="./build/sha256.pk")
+        p.add_argument("--pk-path", default=f"./build/{stem}.pk")
 
-    for name, helpmsg in (("prove-zkevm-sha256", "SHA256 proof (cli.rs:128)"),
-                          ("prove-unoptimized-sha256",
-                           "gate-level SHA256 proof (cli.rs:112; same circuit here)")):
+    for name, helpmsg, stem in (
+            ("prove-zkevm-sha256", "SHA256 bit circuit proof (cli.rs:128)",
+             "zkevm_sha256"),
+            ("prove-unoptimized-sha256",
+             "gate-level SHA256 proof (cli.rs:112)", "unoptimized_sha256")):
         p = sub.add_parser(name, help=helpmsg)
         _add_common(p, 0)
         p.add_argument("--cert-path", default="./certs/cert_3.pem")
-        p.add_argument("--pk-path", default="./build/sha256.pk")
-        p.add_argument("--proof-path", default="./build/sha256.proof")
+        p.add_argument("--pk-path", default=f"./build/{stem}.pk")
+        p.add_argument("--proof-path", default=f"./build/{stem}.proof")
 
     p = sub.add_parser("gen-x509-agg-keys", help="aggregation keygen (cli.rs:144)")
     _add_common(p, 22)
@@ -135,8 +141,22 @@ def main(argv=None):
         print(f"rsa snark written to {args.proof_path}")
         return
 
-    if args.cmd.endswith("sha256-keys") or args.cmd.startswith("prove-") and \
-            "sha256" in args.cmd:
+    if "unoptimized-sha256" in args.cmd:
+        from .circuits.sha256_gate import Sha256GateCircuit
+        cert = load(args.cert_path)
+        k = args.k or 19                      # reference README.md:24
+        circuit = Sha256GateCircuit(cert.tbs, k)
+        params = gen_srs(k, args.params_path)
+        pk = sdk.gen_pk(params, circuit.data, args.pk_path)
+        if args.cmd.endswith("keys"):
+            print(f"unoptimized sha256 pk written to {args.pk_path}")
+            return
+        sdk.gen_snark(params, pk, circuit.advice, circuit.instances,
+                      args.proof_path)
+        print(f"unoptimized sha256 snark written to {args.proof_path}")
+        return
+
+    if "sha256" in args.cmd:
         from .circuits.sha256 import Sha256Circuit, min_k
         cert = load(args.cert_path)
         k = args.k or min_k(len(cert.tbs))

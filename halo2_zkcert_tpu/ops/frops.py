@@ -53,6 +53,14 @@ def prefix_product(a: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def prefix_product_batched(a: jnp.ndarray) -> jnp.ndarray:
+    """(m, n, NL) -> independent inclusive prefix products along axis 1,
+    all in ONE scan program (the per-step combine widens m-fold; the
+    sequential step count does not grow)."""
+    return scanmod.prefix_scan_batched(_mul1, _one1, (a,))[0]
+
+
+@jax.jit
 def affine_scan(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Inclusive scan of the affine recurrence A[i] = m[i]*A[i-1] + b[i]
     with A[-1] = 0, over axis 0 (m, b: (n, NL) Fr limbs).
@@ -244,8 +252,9 @@ def _pack_key_u32(digits: jnp.ndarray) -> tuple:
     return tuple(words)
 
 
-@partial(jax.jit, static_argnums=2)
-def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int,
+                          max_bits: int | None = None):
     """Device-side halo2 lookup permutation (no host fetch of the columns).
 
     a, s: (n, NL) compressed input/table value columns.  Rows >= usable are
@@ -255,17 +264,22 @@ def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int):
     the other s_perm rows are the leftover multiset of s in sorted order.
     `ok` is False iff some input value is missing from the table.
 
-    256-bit sort: 8 stable LSW-first u32 argsort passes; first-occurrence
+    256-bit sort: stable LSW-first u32 argsort passes; first-occurrence
     matching via vectorized lexicographic binary search into the sorted
-    table keys.
+    table keys.  `max_bits` (a circuit hint: every value < 2^max_bits)
+    shrinks the key to ceil(max_bits/32) words — a 16-bit range lookup
+    sorts on ONE word instead of eight.
     """
     import numpy as _np
     n = a.shape[0]
     mask = jnp.arange(n) < usable
+    # number of u32 key words; capped so masked rows (0xFFFFFFFF) still
+    # sort above every real value
+    nw = 8 if max_bits is None else max(1, -(-min(max_bits, 231) // 32))
 
     def sort_perm(vals):
         digits = limbs.canonical(FR, vals)              # (n, 32)
-        words = _pack_key_u32(digits)
+        words = _pack_key_u32(digits)[:nw]
         # rows >= usable get the max key so they sort to the top
         words = tuple(jnp.where(mask, w, jnp.uint32(0xFFFFFFFF)) for w in words)
         perm = jnp.arange(n)
@@ -277,18 +291,18 @@ def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int):
     ps, ws = sort_perm(s)
     a_sorted = a[pa]
     s_sorted = s[ps]
-    ka = jnp.stack([w[pa] for w in wa], 1)              # (n, 8) sorted keys
+    ka = jnp.stack([w[pa] for w in wa], 1)              # (n, nw) sorted keys
     ks = jnp.stack([w[ps] for w in ws], 1)
 
-    prev = jnp.concatenate([jnp.full((1, 8), 2**32 - 1, ka.dtype), ka[:-1]], 0)
+    prev = jnp.concatenate([jnp.full((1, nw), 2**32 - 1, ka.dtype), ka[:-1]], 0)
     first = jnp.any(ka != prev, axis=1) & mask
 
     def less_than(i_s, q):
-        """ks[i_s] < q lexicographically (word 7 most significant)."""
+        """ks[i_s] < q lexicographically (last word most significant)."""
         row = ks[jnp.clip(i_s, 0, n - 1)]
         lt = jnp.zeros(q.shape[0], bool)
         decided = jnp.zeros(q.shape[0], bool)
-        for wi in range(7, -1, -1):
+        for wi in range(nw - 1, -1, -1):
             lt_w = row[:, wi] < q[:, wi]
             gt_w = row[:, wi] > q[:, wi]
             lt = jnp.where(~decided & lt_w, True, lt)

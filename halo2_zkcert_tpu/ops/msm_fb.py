@@ -221,22 +221,25 @@ def _add_buckets(a, b):
 # amortize across G columns (zero-padded groups keep ONE compiled shape).
 # G=2 keeps the gather+scan working set ~5 GB on 16 GB HBM.
 GROUP = 2
+# Bounded-value columns carry ~NWIN-times less data, so a bigger group fits.
+GROUP_SMALL = 4
 
 
 @partial(jax.jit, static_argnames=("wbits",))
-def _buckets_cols(table_flat, digits_cols, wbits: int):
+def _buckets_cols(table_flat, digits_cols, rows_cols, wbits: int):
     """Per-column bucket sums for a GROUP of columns in one program.
 
-    digits_cols: (G, NWIN*N) window-major digits per column.
-    Returns tuple of (G, 2^wbits, NL) bucket arrays."""
+    digits_cols: (G, T) window digits per column; rows_cols (G, T) or
+    (1, T) the table index each flat pair multiplies (broadcast over G for
+    the standard window-major layout).  Returns tuple of (G, 2^wbits, NL)
+    bucket arrays."""
     from . import scan as scanmod
     G, total = digits_cols.shape
     Bc = max(total // CHUNK, 1)
     chunk = total // Bc
     d = digits_cols.reshape(G * Bc, chunk)
     order = jnp.argsort(d, axis=1)
-    rows1 = jnp.arange(total, dtype=jnp.int32).reshape(Bc, chunk)
-    rows = jnp.tile(rows1, (G, 1))                       # (G*Bc, chunk)
+    rows = jnp.broadcast_to(rows_cols, (G, total)).reshape(G * Bc, chunk)
     pts = table_flat[jnp.take_along_axis(rows, order, axis=1)] \
         .astype(jnp.int32)
     dsort = jnp.take_along_axis(d, order, axis=1)
@@ -316,29 +319,88 @@ class FixedBaseMsm:
         buckets = _buckets_all(self.table_flat, digits_flat, self.wbits)
         return _combine_buckets(buckets, self.wbits)
 
-    def msm_many(self, cols) -> jnp.ndarray:
+    def _rows_full(self) -> jnp.ndarray:
+        """(1, NWIN*N) window-major table indices for full-width scalars."""
+        return (jnp.arange(self.nwin * self.n, dtype=jnp.int32))[None]
+
+    def msm_many(self, cols, group: int = GROUP) -> jnp.ndarray:
         """(m, N, NL) -> (m, 3, NL) projective accumulators, processed in
-        GROUP-sized column batches (zero-padded -> one compiled shape; the
+        `group`-sized column batches (zero-padded -> one compiled shape; the
         sort/scan fixed costs amortize across the group)."""
         m = cols.shape[0]
         outs = []
         base = 0
+        rows = self._rows_full()
         while base < m:
-            g = min(GROUP, m - base)
-            if g < GROUP:
+            g = min(group, m - base)
+            if g < group:
                 # remainder: the single-column program — zero-padding a
                 # group would pay a full phantom column of scan work
                 outs.append(jnp.stack(self(cols[base]))[None])
                 np.asarray(outs[-1][0, 0, :1])
                 base += 1
                 continue
-            grp = cols[base:base + GROUP]
-            d = _digits(grp.reshape(GROUP * self.n, NL), self.wbits)
-            d = d.reshape(GROUP, self.n, self.nwin) \
-                .transpose(0, 2, 1).reshape(GROUP, -1)   # window-major
-            buckets = _buckets_cols(self.table_flat, d, self.wbits)
+            grp = cols[base:base + group]
+            d = _digits(grp.reshape(group * self.n, NL), self.wbits)
+            d = d.reshape(group, self.n, self.nwin) \
+                .transpose(0, 2, 1).reshape(group, -1)   # window-major
+            buckets = _buckets_cols(self.table_flat, d, rows, self.wbits)
             res = _combine_buckets_cols(buckets, self.wbits)  # (G, 3, NL)
             outs.append(res)
             np.asarray(outs[-1][0, 0, :1])  # host fetch: bound in-flight
-            base += GROUP
+            base += group
+        return jnp.concatenate(outs, axis=0)
+
+    def _small_layout(self, value_windows: int, blind_lo: int):
+        """Static (rows, pad) layout for bounded-value columns: every row
+        contributes its low `value_windows` windows; rows >= blind_lo
+        (the blinding tail) additionally contribute the remaining windows.
+        Padding pairs point at table row 0 with digit 0 (bucket 0 is
+        discarded, so they are free)."""
+        n, nwin = self.n, self.nwin
+        tail = n - blind_lo
+        main = [w * n + np.arange(n, dtype=np.int64)
+                for w in range(value_windows)]
+        blind = [w * n + np.arange(blind_lo, n, dtype=np.int64)
+                 for w in range(value_windows, nwin)]
+        rows = np.concatenate(main + blind)
+        total = rows.shape[0]
+        padded = -(-total // 128) * 128
+        rows = np.pad(rows, (0, padded - total))
+        return jnp.asarray(rows, jnp.int32)[None], total
+
+    def msm_many_bounded(self, cols, value_bits: int,
+                         blind_lo: int) -> jnp.ndarray:
+        """(m, N, NL) -> (m, 3, NL) for columns whose rows < blind_lo are
+        < 2^value_bits (witness columns with known small ranges: range-
+        checked tapes, lookup tables, byte/bit columns).  Only
+        ceil(value_bits/wbits) windows of bucket work per row instead of
+        NWIN — e.g. 17x less scan work for a 16-bit column at wbits=16.
+        Blinding rows (>= blind_lo) keep full windows."""
+        vw = max(1, -(-value_bits // self.wbits))
+        if vw >= self.nwin:
+            return self.msm_many(cols)
+        m = cols.shape[0]
+        rows, total = self._small_layout(vw, blind_lo)
+        padded = rows.shape[1]
+        outs = []
+        for base in range(0, m, GROUP_SMALL):
+            g = min(GROUP_SMALL, m - base)
+            grp = cols[base:base + g]
+            if g < GROUP_SMALL:
+                grp = jnp.concatenate(
+                    [grp, jnp.zeros((GROUP_SMALL - g,) + grp.shape[1:],
+                                    grp.dtype)], axis=0)
+            d = _digits(grp.reshape(GROUP_SMALL * self.n, NL), self.wbits)
+            d = d.reshape(GROUP_SMALL, self.n, self.nwin)
+            dmain = d[:, :, :vw].transpose(0, 2, 1) \
+                .reshape(GROUP_SMALL, vw * self.n)
+            dblind = d[:, blind_lo:, vw:].transpose(0, 2, 1) \
+                .reshape(GROUP_SMALL, -1)
+            dflat = jnp.concatenate([dmain, dblind], axis=1)
+            dflat = jnp.pad(dflat, ((0, 0), (0, padded - total)))
+            buckets = _buckets_cols(self.table_flat, dflat, rows, self.wbits)
+            res = _combine_buckets_cols(buckets, self.wbits)
+            outs.append(res[:g])
+            np.asarray(outs[-1][0, 0, :1])  # bound in-flight memory
         return jnp.concatenate(outs, axis=0)

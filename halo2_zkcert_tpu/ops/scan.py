@@ -23,8 +23,40 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_C = 128
-_ROLLED = 64          # below this, a rolled lax.scan is cheaper
+_C = 64
+_ROLLED = 64          # kept for API compat; KS replaces the rolled base
+# Row totals (and any scan of <= _KS_MAX rows) use a Kogge-Stone sweep:
+# log2(n) full-width combines instead of a sequential chain.  The scan's
+# latency is dispatch-bound on TPU (each step is a couple of Pallas
+# kernels), so trading work n -> n log n on the SMALL totals array for
+# sequential depth n -> log n is a large end-to-end win: a 2^17 scan is
+# 63 sequential level-1 steps + ~11 KS steps (vs ~290 with the old
+# recursive-sequential totals), at <3% extra combine work.
+_KS_MAX = 16384
+
+
+def _ks_scan(combine, identity1, xs: tuple, axis: int = 0) -> tuple:
+    """Inclusive Kogge-Stone scan along `axis`: ceil(log2 n) wide steps.
+
+    Each step combines the array with itself shifted by 2^s, the gap
+    filled with identity rows (combine(identity, x) == x for monoids).
+    Earlier-first operand order, so non-commutative monoids are safe.
+    """
+    n = xs[0].shape[axis]
+    ident = identity1()
+    shift = 1
+    while shift < n:
+        pads = tuple(jnp.broadcast_to(
+            i.reshape((1,) * (axis + 1) + i.shape[1:]),
+            c.shape[:axis] + (shift,) + c.shape[axis + 1:])
+            for c, i in zip(xs, ident))
+        heads = tuple(jax.lax.slice_in_dim(c, 0, n - shift, axis=axis)
+                      for c in xs)
+        sh = tuple(jnp.concatenate([p, h], axis=axis)
+                   for p, h in zip(pads, heads))
+        xs = combine(sh, xs)
+        shift *= 2
+    return xs
 
 
 def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
@@ -32,19 +64,14 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
 
     combine: tuple -> tuple -> tuple (elementwise-batched monoid op);
     identity1: () -> tuple of (1, ...) identity rows (same trailing dims);
-    xs: tuple of (n, ...) arrays, n a power of two.
+    xs: tuple of (n, ...) arrays, n a power of two.  Non-commutative
+    monoids are supported (operands are always ordered earlier-first).
     Trace-friendly: safe to call inside jit; eager calls compile a couple
     of small fori programs per distinct shape.
     """
     n = xs[0].shape[0]
-    if n <= base:
-        def body(carry, elem):
-            new = combine(carry, elem)
-            return new, new
-
-        init = tuple(c[0] for c in identity1())
-        _, pref = jax.lax.scan(body, init, xs)
-        return pref
+    if n <= _KS_MAX:
+        return _ks_scan(combine, identity1, xs, axis=0)
     C = _C if n // _C >= base else max(2, n // base)
     assert n % C == 0, n
     R = n // C
@@ -93,7 +120,7 @@ def prefix_scan_batched_local(combine, identity1, xs: tuple,
     where the right operand is always an ORIGINAL input element — MSM
     bucket scans use a cheaper mixed add there (table points are affine)."""
     B, n = xs[0].shape[0], xs[0].shape[1]
-    if n <= base:
+    if n <= _KS_MAX:
         pref = prefix_scan_batched(combine, identity1, xs, base)
         ident = tuple(jnp.broadcast_to(c[None], (B, 1) + c.shape[1:])
                       for c in identity1())
@@ -132,17 +159,8 @@ def prefix_scan_batched(combine, identity1, xs: tuple,
     chunk scans collapse into one (the per-step combine width grows B-fold,
     the sequential step count does not)."""
     B, n = xs[0].shape[0], xs[0].shape[1]
-    if n <= base:
-        mv = tuple(jnp.moveaxis(c, 1, 0) for c in xs)    # (n, B, ...)
-
-        def body(carry, elem):
-            new = combine(carry, elem)
-            return new, new
-
-        init = tuple(jnp.broadcast_to(c[0][None], (B,) + c.shape[1:])
-                     for c in identity1())
-        _, pref = jax.lax.scan(body, init, mv)
-        return tuple(jnp.moveaxis(c, 0, 1) for c in pref)
+    if n <= _KS_MAX:
+        return _ks_scan(combine, identity1, xs, axis=1)
     C = _C if n // _C >= base else max(2, n // base)
     assert n % C == 0, n
     R = n // C

@@ -36,6 +36,12 @@ class Lookup:
     name: str
     # list of (input_expr, table_expr) pairs, compressed with theta
     pairs: list
+    # PROVER HINT (optional): a bound 2^max_bits on every compressed
+    # input/table value in the usable rows.  Only valid for single-pair
+    # lookups whose expressions are range-bounded (e.g. range-check
+    # tables); lets the prover sort on one word and commit the permuted
+    # columns with few digit windows.  Not part of the circuit identity.
+    max_bits: int | None = None
 
     def input_degree(self) -> int:
         return max(p[0].degree() for p in self.pairs)
@@ -55,6 +61,10 @@ class ConstraintSystem:
     gates: list = field(default_factory=list)             # (name, Expr)
     lookups: list = field(default_factory=list)           # Lookup
     permutation_columns: list = field(default_factory=list)  # Column
+    # PROVER HINT: advice col index -> bit bound on usable-row values
+    # (blinding rows excluded).  Purely an MSM-window optimization; a
+    # wrong hint breaks the proof (commitment mismatch), never soundness.
+    advice_value_bits: dict = field(default_factory=dict)
 
     # ---- construction helpers ------------------------------------------------
 
@@ -62,9 +72,12 @@ class ConstraintSystem:
         self.num_fixed += 1
         return ex.Fixed(self.num_fixed - 1)
 
-    def advice_column(self, phase: int = 0) -> ex.Advice:
+    def advice_column(self, phase: int = 0,
+                      value_bits: int | None = None) -> ex.Advice:
         self.num_advice += 1
         self.advice_phases.append(phase)
+        if value_bits is not None:
+            self.advice_value_bits[self.num_advice - 1] = value_bits
         return ex.Advice(self.num_advice - 1, phase=phase)
 
     def instance_column(self) -> ex.Instance:
@@ -79,8 +92,9 @@ class ConstraintSystem:
     def create_gate(self, name: str, expr: ex.Expr) -> None:
         self.gates.append((name, expr))
 
-    def add_lookup(self, name: str, pairs: list) -> None:
-        self.lookups.append(Lookup(name, list(pairs)))
+    def add_lookup(self, name: str, pairs: list,
+                   max_bits: int | None = None) -> None:
+        self.lookups.append(Lookup(name, list(pairs), max_bits))
 
     def enable_permutation(self, col: Column) -> None:
         if col not in self.permutation_columns:

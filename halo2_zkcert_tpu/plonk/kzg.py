@@ -350,14 +350,17 @@ def _fb_wanted(n: int) -> bool:
     return jax.default_backend() == "tpu" and n >= _FB_MIN_N
 
 
-def _fb_commit(fb, cols) -> list:
+def _fb_commit(fb, cols, value_bits=None, blind_lo=None) -> list:
     if not isinstance(cols, jnp.ndarray):
         if not len(cols):
             return []
         cols = jnp.stack(list(cols))
     if cols.shape[0] == 0:
         return []
-    accs = fb.msm_many(cols)                        # (m, 3, NL) projective
+    if value_bits is not None and blind_lo is not None:
+        accs = fb.msm_many_bounded(cols, value_bits, blind_lo)
+    else:
+        accs = fb.msm_many(cols)                    # (m, 3, NL) projective
     aff = np.asarray(_to_affine_batch(accs))
     return _affine_batch_to_ints(aff)
 
@@ -390,11 +393,17 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
     return _affine_batch_to_ints(aff)
 
 
-def commit_many_lagrange(params: ParamsKZG, cols) -> list:
+def commit_many_lagrange(params: ParamsKZG, cols, value_bits=None,
+                         blind_lo=None) -> list:
     """Batch-commit Lagrange columns (reference: per-column commit loop
-    [dep]; here per-point fetches are collapsed into one)."""
+    [dep]; here per-point fetches are collapsed into one).
+
+    value_bits/blind_lo: optional bound hint — rows < blind_lo are
+    < 2^value_bits, so the fixed-base path only does
+    ceil(value_bits/wbits) windows of bucket work per row."""
     if _fb_wanted(params.n):
-        return _fb_commit(params.fixed_base(lagrange=True), cols)
+        return _fb_commit(params.fixed_base(lagrange=True), cols,
+                          value_bits, blind_lo)
     return _commit_batch(jnp.asarray(params.g_lagrange), cols)
 
 

@@ -50,6 +50,30 @@ def instance_lagrange(vals: list, n: int) -> jnp.ndarray:
     return Fr.from_ints(padded)
 
 
+def _commit_mixed(params: ParamsKZG, cols: list, bits: list,
+                  blind_lo: int) -> list:
+    """Commit columns with per-column value-bit hints, preserving order.
+
+    Columns with a bound (bits[i] != None) go through the bounded-window
+    fixed-base path grouped by bound; the rest through the full path."""
+    pts = [None] * len(cols)
+    full = [i for i, b in enumerate(bits) if b is None]
+    if full:
+        for i, pt in zip(full, commit_many_lagrange(
+                params, [cols[i] for i in full])):
+            pts[i] = pt
+    groups: dict = {}
+    for i, b in enumerate(bits):
+        if b is not None:
+            groups.setdefault(b, []).append(i)
+    for b, idxs in groups.items():
+        for i, pt in zip(idxs, commit_many_lagrange(
+                params, [cols[i] for i in idxs], value_bits=b,
+                blind_lo=blind_lo)):
+            pts[i] = pt
+    return pts
+
+
 def _ext_rotate(dom: Domain, arr: jnp.ndarray, rot: int) -> jnp.ndarray:
     return jnp.roll(arr, -rot * (dom.extended_n // dom.n), axis=0)
 
@@ -146,7 +170,8 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             col = col.at[u_row:].set(blinds)
             advice_cols[i] = col
             batch.append(col)
-        for pt in commit_many_lagrange(params, batch):
+        bits = [csys.advice_value_bits.get(i) for i in expected]
+        for pt in _commit_mixed(params, batch, bits, u_row):
             transcript.write_point(pt)
         for ci, cp in enumerate(csys.challenge_phases):
             if cp == phase:
@@ -160,19 +185,22 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
                                          inst_lag, challenges)
     lookups = []
     lk_batch = []
+    lk_bits = []
     for lk in csys.lookups:
         a_comp = _compress([p[0] for p in lk.pairs], theta, leaf)
         s_comp = _compress([p[1] for p in lk.pairs], theta, leaf)
         # device-side permutation: sorting/matching never leaves the chip
         # (fetching the columns costs ~0.7 s/17MB over the remote tunnel)
-        a_arr, s_arr, ok = frops.lookup_permute_device(a_comp, s_comp, u_row)
+        a_arr, s_arr, ok = frops.lookup_permute_device(a_comp, s_comp, u_row,
+                                                       lk.max_bits)
         if not bool(ok):
             raise ValueError(f"lookup '{lk.name}' failure: input not in table")
         a_arr = a_arr.at[u_row:].set(Fr.from_ints(rng.fill(bf + 1)))
         s_arr = s_arr.at[u_row:].set(Fr.from_ints(rng.fill(bf + 1)))
         lk_batch += [a_arr, s_arr]
+        lk_bits += [lk.max_bits, lk.max_bits]
         lookups.append(dict(a=a_comp, s=s_comp, a_perm=a_arr, s_perm=s_arr))
-    for pt in commit_many_lagrange(params, lk_batch):
+    for pt in _commit_mixed(params, lk_batch, lk_bits, u_row):
         transcript.write_point(pt)
 
     _tick("lookup permute+commit")
@@ -188,10 +216,14 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         return {FIXED: pk.fixed_lagrange, ADVICE: advice_cols,
                 INSTANCE: inst_lag}[col.kind][col.index]
 
-    omega_pows = frops.powers(_fr(dom.omega), n)
-    perm_zs = []
-    start = _fr(1)                 # device scalar — chunk chaining, no fetch
+    # All grand products (permutation chunks + lookups) share ONE batched
+    # inversion and ONE batched prefix scan — the reference computes each Z
+    # column independently [dep]; the columns are independent up to the
+    # permutation chunk chaining, which is restored afterwards by scaling
+    # each chunk's unit scan with the previous chunk's boundary value.
+    omega_pows = dom.omega_pows_device
     beta_l, gamma_l = _bcast(beta, n), _bcast(gamma, n)
+    nums, dens = [], []
     for ci, chunk in enumerate(chunks):
         num = None
         den = None
@@ -205,23 +237,36 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             t_den = frops.add(frops.add(v, frops.mul(sig, beta_l)), gamma_l)
             num = t_num if num is None else frops.mul(num, t_num)
             den = t_den if den is None else frops.mul(den, t_den)
-        ratio = frops.mul(num, frops.batch_inv(den))
-        # Z[0] = start; Z[i] = start * prod_{j<i} ratio[j]
-        shifted = jnp.concatenate([start[None], ratio[:-1]], axis=0)
-        z = frops.prefix_product(shifted)
+        nums.append(num)
+        dens.append(den)
+    for lkd in lookups:
+        nums.append(frops.mul(frops.add(lkd["a"], beta_l),
+                              frops.add(lkd["s"], gamma_l)))
+        dens.append(frops.mul(frops.add(lkd["a_perm"], beta_l),
+                              frops.add(lkd["s_perm"], gamma_l)))
+
+    m_gp = len(nums)
+    den_inv = frops.batch_inv(jnp.concatenate(dens, axis=0)) \
+        .reshape(m_gp, n, NL)
+    ratios = frops.mul(jnp.stack(nums), den_inv)
+    ones = jnp.zeros((m_gp, 1, NL), jnp.int32).at[:, 0, 0].set(1)
+    shifted = jnp.concatenate([ones, ratios[:, :-1]], axis=1)
+    units = frops.prefix_product_batched(shifted)       # (m_gp, n, NL)
+
+    perm_zs = []
+    start = _fr(1)                 # device scalar — chunk chaining, no fetch
+    for ci in range(len(chunks)):
+        unit = units[ci]
+        z = unit if ci == 0 else frops.mul(
+            unit, jnp.broadcast_to(start[None], (n, NL)))
         start = z[u_row]
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
         perm_zs.append(z)
 
     # -- 4: lookup grand products ------------------------------------------------
     z_batch = list(perm_zs)
-    for lkd in lookups:
-        t_num = frops.mul(frops.add(lkd["a"], beta_l), frops.add(lkd["s"], gamma_l))
-        t_den = frops.mul(frops.add(lkd["a_perm"], beta_l),
-                          frops.add(lkd["s_perm"], gamma_l))
-        ratio = frops.mul(t_num, frops.batch_inv(t_den))
-        shifted = jnp.concatenate([_fr(1)[None], ratio[:-1]], axis=0)
-        z = frops.prefix_product(shifted)
+    for li, lkd in enumerate(lookups):
+        z = units[len(chunks) + li]
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
         z_batch.append(z)
         lkd["z"] = z

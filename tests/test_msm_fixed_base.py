@@ -63,3 +63,23 @@ def test_msm_many_columns():
     for m in range(2):
         want = rc.g1_msm(pts, cols_int[m])
         assert _affine((accs[m, 0], accs[m, 1], accs[m, 2])) == want
+
+
+def test_msm_many_bounded():
+    """Bounded-value commit path: small rows + full-width blinding tail."""
+    n = 16
+    blind_lo = 12
+    arr, pts = _base(n)
+    fb = msm_fb.FixedBaseMsm(arr, wbits=8)
+    rng = np.random.default_rng(9)
+    cols_int = []
+    for _ in range(3):
+        vals = [int(v) for v in rng.integers(0, 1 << 16, size=n)]
+        for r in range(blind_lo, n):       # blinding rows: full scalars
+            vals[r] = int(rng.integers(0, 1 << 62)) * rc.FR // (1 << 62)
+        cols_int.append(vals)
+    cols = jnp.stack([Fr.from_ints(c) for c in cols_int])
+    accs = fb.msm_many_bounded(cols, value_bits=16, blind_lo=blind_lo)
+    for m in range(3):
+        want = rc.g1_msm(pts, cols_int[m])
+        assert _affine((accs[m, 0], accs[m, 1], accs[m, 2])) == want
