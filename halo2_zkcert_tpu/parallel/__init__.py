@@ -14,6 +14,7 @@ Cargo.lock:2223]; the TPU-native equivalents here are:
 * Witness/quotient pointwise algebra: embarrassingly row-parallel — plain
   sharding annotations, no manual collectives.
 """
+from .context import active_mesh, prover_mesh
 from .mesh import default_mesh, make_mesh
 from .msm_sharded import msm_sharded
 from .ntt_sharded import ntt_sharded

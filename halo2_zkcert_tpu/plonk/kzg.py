@@ -384,6 +384,21 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
     m = cols.shape[0]
     if m == 0:
         return []
+    from ..parallel.context import active_mesh
+    mesh, axis = active_mesh()
+    if mesh is not None and base.shape[0] % mesh.size == 0 and mesh.size > 1:
+        # sharded prover path: points/scalars split over the mesh axis,
+        # per-device Pippenger partials all-gathered (parallel.msm_sharded)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.msm_sharded import msm_sharded
+        base_sh = jax.device_put(base, NamedSharding(mesh, P(axis, None, None)))
+        accs = []
+        for i in range(m):
+            col = jax.device_put(cols[i], NamedSharding(mesh, P(axis, None)))
+            accs.append(jnp.stack(msm_sharded(base_sh, col, mesh, axis)))
+        aff = np.asarray(_to_affine_batch(jnp.stack(
+            [jax.device_put(a, jax.devices()[0]) for a in accs])))
+        return _affine_batch_to_ints(aff)
     accs = []
     for i in range(m):
         accs.append(jnp.stack(msm.msm_jacobian(base, cols[i])))

@@ -485,6 +485,14 @@ def _chunk_cols(fn, cols, group=_NTT_GROUP):
     m = cols.shape[0]
     if m == 0:
         return cols
+    from ..parallel.context import active_mesh
+    mesh, axis = active_mesh()
+    if mesh is not None and mesh.size > 1 and cols.shape[1] % mesh.size == 0:
+        # sharded prover path: rows split over the mesh; XLA SPMD places the
+        # cross-device butterfly exchanges inside the jitted NTT programs
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        cols = jax.device_put(
+            cols, NamedSharding(mesh, P(None, axis, None)))
     outs = []
     for off in range(0, m, group):
         c = cols[off:off + group]
