@@ -107,7 +107,19 @@ def main():
         except Exception as e:  # pragma: no cover
             if mode == "rsa":
                 raise
+            import traceback
+            traceback.print_exc(file=sys.stderr)
             print(f"# rsa bench failed, falling back: {e!r}", file=sys.stderr)
+            # the exception traceback pins every frame-local device array
+            # alive (this OOMed the fallback in round 2 — BENCH_r02.json);
+            # drop them and every cached program before trying again
+            import gc
+            sys.last_traceback = None
+            e.__traceback__ = None
+            gc.collect()
+            import jax
+            jax.clear_caches()
+            gc.collect()
     if result is None:
         result = bench_kernels()
     print(json.dumps(result))

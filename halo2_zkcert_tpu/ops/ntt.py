@@ -93,14 +93,39 @@ def _device_tables(k: int, inverse: bool):
     return perm, tws, n_inv
 
 
+import os as _os
+
+_MXU_MIN_K = 11
+_mxu_env = _os.environ.get("H2T_NTT_MXU", "auto")
+
+
+def _mxu_wanted(a, k: int) -> bool:
+    """Route big eager transforms through the MXU four-step (ops/ntt_mxu).
+
+    Only outside jit traces: the MXU path passes its constant tables as
+    program arguments (they may not be baked into an enclosing HLO), so a
+    traced call falls back to the radix-2 butterflies."""
+    if _mxu_env == "0" or isinstance(a, jax.core.Tracer):
+        return False
+    if _mxu_env == "1":
+        return True
+    return jax.default_backend() == "tpu" and k >= _MXU_MIN_K
+
+
 def ntt(a: jnp.ndarray, k: int) -> jnp.ndarray:
     """Forward NTT: values X[i] = sum_j a[j] w^(ij) over rows of (2^k, ..., L)."""
+    if _mxu_wanted(a, k):
+        from . import ntt_mxu
+        return ntt_mxu.ntt(a, k)
     perm, tws, n_inv = _device_tables(k, False)
     return _ntt_impl(a, perm, tws, n_inv, k, False)
 
 
 def intt(a: jnp.ndarray, k: int) -> jnp.ndarray:
     """Inverse NTT (includes the 1/N scaling)."""
+    if _mxu_wanted(a, k):
+        from . import ntt_mxu
+        return ntt_mxu.intt(a, k)
     perm, tws, n_inv = _device_tables(k, True)
     return _ntt_impl(a, perm, tws, n_inv, k, True)
 
@@ -127,10 +152,16 @@ def scale_by_powers(a: jnp.ndarray, base: int, n: int) -> jnp.ndarray:
 
 def coset_ntt(a: jnp.ndarray, k: int, g: int) -> jnp.ndarray:
     """Evaluate the polynomial with coefficients `a` on the coset g*H."""
+    if _mxu_wanted(a, k):
+        from . import ntt_mxu
+        return ntt_mxu.coset_ntt(a, k, g)   # g^j folds into the matrices
     return ntt(scale_by_powers(a, g, 1 << k), k)
 
 
 def coset_intt(a: jnp.ndarray, k: int, g: int) -> jnp.ndarray:
     """Interpolate from values on coset g*H back to coefficients."""
+    if _mxu_wanted(a, k):
+        from . import ntt_mxu
+        return ntt_mxu.coset_intt(a, k, g)
     g_inv = pow(g, rc.FR - 2, rc.FR)
     return scale_by_powers(intt(a, k), g_inv, 1 << k)

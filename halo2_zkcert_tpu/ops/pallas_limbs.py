@@ -131,19 +131,50 @@ def _reduce_mul(x, fold_mxu):
     return _carry3(acc)                                  # limbs <= ~258
 
 
+# conv strategy: "shift" = 35 sublane-shifted FMA steps (VPU; the shifts
+# are cross-sublane permutes); "mxu" = outer product (VPU) + one constant
+# one-hot matmul on the MXU.  The one-hot side is 0/1 (bf16-exact, lo
+# part identically zero), the outer side f32 <= 320^2; per-coefficient
+# sums <= 35 * 320^2 ~ 3.6M < 2^24, so the f32 MXU pass is exact.
+_CONV_MODE = os.environ.get("H2T_CONV", "shift")
+
+
+def _conv_onehot_mxu():
+    """(2*ROWS, _CONV_ROWS * ROWS) one-hot: row l sums outer[(i, j)] with
+    i + j == l.  Built in-kernel from iota (Mosaic kernels cannot capture
+    array constants — TPU_NOTES.md); the compiler hoists it."""
+    shape = (2 * ROWS, _CONV_ROWS * ROWS)
+    l_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((c_ids // ROWS + c_ids % ROWS) == l_ids).astype(jnp.float32)
+
+
 def _mk_ops(fold_rows, fold_mxu, pad_wide):
     """In-kernel field ops over (ROWS, B) f32 planes (relaxed class).
 
     Returns (mul, add, sub, small, finalize); `finalize` must be applied
     before storing to an output ref (host-side code slices rows < 33)."""
 
-    def mul(a, b):
+    def mul_shift(a, b):
         B = a.shape[1]
         acc = jnp.zeros((2 * ROWS, B), jnp.float32)
         for i in range(_CONV_ROWS):
             term = a[i:i + 1] * b                                # (40, B)
             acc = acc + jnp.pad(term, ((i, 2 * ROWS - ROWS - i), (0, 0)))
         return _reduce_mul(acc, fold_mxu)
+
+    def mul_mxu(a, b):
+        B = a.shape[1]
+        # outer[(i, j), n] = a[i, n] * b[j, n]   (VPU broadcasts)
+        outer = jnp.concatenate(
+            [a[i:i + 1] * b for i in range(_CONV_ROWS)], axis=0)
+        acc = jax.lax.dot_general(
+            _conv_onehot_mxu(), outer,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (80, B)
+        return _reduce_mul(acc, fold_mxu)
+
+    mul = mul_mxu if _CONV_MODE == "mxu" else mul_shift
 
     def add(a, b):
         # carry-only, ONE pass.  Worst case is RESIDENT kernel inputs

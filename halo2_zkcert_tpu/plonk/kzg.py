@@ -357,6 +357,8 @@ def _fb_commit(fb, cols, value_bits=None, blind_lo=None) -> list:
         cols = jnp.stack(list(cols))
     if cols.shape[0] == 0:
         return []
+    if os.environ.get("H2T_FB_BOUNDED") == "0":   # debug kill switch
+        value_bits = None
     if value_bits is not None and blind_lo is not None:
         accs = fb.msm_many_bounded(cols, value_bits, blind_lo)
     else:
@@ -388,7 +390,11 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
     mesh, axis = active_mesh()
     if mesh is not None and base.shape[0] % mesh.size == 0 and mesh.size > 1:
         # sharded prover path: points/scalars split over the mesh axis,
-        # per-device Pippenger partials all-gathered (parallel.msm_sharded)
+        # per-device Pippenger partials all-gathered (parallel.msm_sharded).
+        # Same `group`-bounded host fetch as the single-device loop below:
+        # each MSM program's bucket/window temporaries are hundreds of MB
+        # per device at prover sizes, so the in-flight pipeline must stay
+        # bounded here too (an unbounded pipeline OOMed at n=2^17).
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.msm_sharded import msm_sharded
         base_sh = jax.device_put(base, NamedSharding(mesh, P(axis, None, None)))
@@ -396,6 +402,8 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
         for i in range(m):
             col = jax.device_put(cols[i], NamedSharding(mesh, P(axis, None)))
             accs.append(jnp.stack(msm_sharded(base_sh, col, mesh, axis)))
+            if (i + 1) % group == 0 and i + 1 < m:
+                np.asarray(accs[-1][0, :1])   # host fetch = real barrier
         aff = np.asarray(_to_affine_batch(jnp.stack(
             [jax.device_put(a, jax.devices()[0]) for a in accs])))
         return _affine_batch_to_ints(aff)
@@ -408,6 +416,16 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
     return _affine_batch_to_ints(aff)
 
 
+def _mesh_active() -> bool:
+    """True when a prover mesh with >1 device is active: the commit layer
+    then prefers the sharded variable-base path over the single-device
+    fixed-base tables, so `prover_mesh` is honored on every backend (the
+    fb tables are per-device; sharding them is a later-round project)."""
+    from ..parallel.context import active_mesh
+    mesh, _ = active_mesh()
+    return mesh is not None and mesh.size > 1
+
+
 def commit_many_lagrange(params: ParamsKZG, cols, value_bits=None,
                          blind_lo=None) -> list:
     """Batch-commit Lagrange columns (reference: per-column commit loop
@@ -416,7 +434,7 @@ def commit_many_lagrange(params: ParamsKZG, cols, value_bits=None,
     value_bits/blind_lo: optional bound hint — rows < blind_lo are
     < 2^value_bits, so the fixed-base path only does
     ceil(value_bits/wbits) windows of bucket work per row."""
-    if _fb_wanted(params.n):
+    if _fb_wanted(params.n) and not _mesh_active():
         return _fb_commit(params.fixed_base(lagrange=True), cols,
                           value_bits, blind_lo)
     return _commit_batch(jnp.asarray(params.g_lagrange), cols)
@@ -431,6 +449,6 @@ def commit_many(params: ParamsKZG, polys) -> list:
     if polys.shape[0] == 0:
         return []
     deg = polys.shape[1]
-    if deg == params.n and _fb_wanted(params.n):
+    if deg == params.n and _fb_wanted(params.n) and not _mesh_active():
         return _fb_commit(params.fixed_base(lagrange=False), polys)
     return _commit_batch(jnp.asarray(params.g[:deg]), polys)

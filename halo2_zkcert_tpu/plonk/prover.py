@@ -411,6 +411,10 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         transcript.write_scalar(ev(f"lookup{li}_s", x))
 
     _tick("evals")
+    if _os.environ.get("H2T_SELFCHECK"):
+        _selfcheck_quotient_identity(csys, dom, instances, evals, challenges,
+                                     theta, beta, gamma, y, x, xn, len(chunks),
+                                     chunk_len, u_row, n)
     # -- 8: multiopen -----------------------------------------------------------------
     queries = []
 
@@ -441,6 +445,109 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     open_shplonk(params, queries, transcript, dom)
     _tick("multiopen")
     return transcript.finalize()
+
+
+def _selfcheck_quotient_identity(csys, dom, instances, evals, challenges,
+                                 theta, beta, gamma, y, x, xn, num_chunks,
+                                 chunk_len, u_row, n):
+    """Paranoid-mode localizer (H2T_SELFCHECK=1): recompute the verifier's
+    expected h(x) from the claimed evals and compare against the prover's
+    own h(x).  A mismatch means the WITNESS/QUOTIENT/EVAL pipeline is
+    inconsistent; a match (with verification still failing) means a
+    COMMITMENT or multiopen defect.  Mirrors verifier.py's identity."""
+    from .verifier import _barycentric_eval
+
+    def ev(name, point):
+        return evals[(name, point)]
+
+    adv_map = {q: ev(f"advice{q[0]}", dom.rotate_omega(x, q[1]))
+               for q in csys.advice_queries}
+    fix_map = {q: ev(f"fixed{q[0]}", dom.rotate_omega(x, q[1]))
+               for q in csys.fixed_queries}
+
+    def instance_eval(i, rot):
+        return _barycentric_eval(instances[i], n, dom.omega,
+                                 dom.rotate_omega(x, rot))
+
+    def eval_expr(e):
+        return ex.evaluate(
+            e,
+            constant=lambda v: v % rc.FR,
+            fixed=lambda i, r: fix_map[(i, r)],
+            advice=lambda i, r: adv_map[(i, r)],
+            instance=instance_eval,
+            challenge=lambda i: challenges[i],
+            add=lambda a, b: (a + b) % rc.FR,
+            mul=lambda a, b: a * b % rc.FR,
+            scale=lambda a, s: a * s % rc.FR,
+        )
+
+    x_next = dom.rotate_omega(x, 1)
+    x_prev = dom.rotate_omega(x, -1)
+    x_last = dom.rotate_omega(x, u_row)
+    l0 = dom.l_i_range(x, xn, [0])[0]
+    l_last = dom.l_i_range(x, xn, [u_row])[0]
+    l_blind = sum(dom.l_i_range(x, xn, range(u_row + 1, n))) % rc.FR
+    active = (1 - l_last - l_blind) % rc.FR
+
+    exprs = []
+    for name, g in csys.gates:
+        exprs.append(eval_expr(g))
+    if num_chunks:
+        exprs.append(l0 * (1 - ev("perm_z0", x)) % rc.FR)
+        zl = ev(f"perm_z{num_chunks - 1}", x)
+        exprs.append(l_last * (zl * zl % rc.FR - zl) % rc.FR)
+        for c in range(1, num_chunks):
+            exprs.append(l0 * (ev(f"perm_z{c}", x)
+                               - ev(f"perm_z{c - 1}", x_last)) % rc.FR)
+        from .cs import ADVICE as _A, FIXED as _F
+        for ci in range(num_chunks):
+            chunk = csys.permutation_columns[
+                ci * chunk_len:(ci + 1) * chunk_len]
+            left = ev(f"perm_z{ci}", x_next)
+            right = ev(f"perm_z{ci}", x)
+            for pos, col in enumerate(chunk):
+                gpos = ci * chunk_len + pos
+                if col.kind == _A:
+                    v = adv_map[(col.index, 0)]
+                elif col.kind == _F:
+                    v = fix_map[(col.index, 0)]
+                else:
+                    v = instance_eval(col.index, 0)
+                sig = ev(f"sigma{gpos}", x)
+                left = left * ((v + beta * sig + gamma) % rc.FR) % rc.FR
+                right = right * ((v + beta * pow(DELTA, gpos, rc.FR) % rc.FR
+                                  * x + gamma) % rc.FR) % rc.FR
+            exprs.append(active * ((left - right) % rc.FR) % rc.FR)
+    for li, lk in enumerate(csys.lookups):
+        a_comp = 0
+        for p_in, _ in lk.pairs:
+            a_comp = (a_comp * theta + eval_expr(p_in)) % rc.FR
+        s_comp = 0
+        for _, p_tab in lk.pairs:
+            s_comp = (s_comp * theta + eval_expr(p_tab)) % rc.FR
+        z, zn = ev(f"lookup{li}_z", x), ev(f"lookup{li}_z", x_next)
+        a_, ap = ev(f"lookup{li}_a", x), ev(f"lookup{li}_a", x_prev)
+        s_ = ev(f"lookup{li}_s", x)
+        exprs.append(l0 * (1 - z) % rc.FR)
+        exprs.append(l_last * (z * z % rc.FR - z) % rc.FR)
+        lhs = zn * ((a_ + beta) % rc.FR) % rc.FR * ((s_ + gamma) % rc.FR) % rc.FR
+        rhs = z * ((a_comp + beta) % rc.FR) % rc.FR \
+            * ((s_comp + gamma) % rc.FR) % rc.FR
+        exprs.append(active * ((lhs - rhs) % rc.FR) % rc.FR)
+        exprs.append(l0 * ((a_ - s_) % rc.FR) % rc.FR)
+        exprs.append(active * ((a_ - s_) % rc.FR) * ((a_ - ap) % rc.FR) % rc.FR)
+
+    h_eval = 0
+    for e in exprs:
+        h_eval = (h_eval * y + e) % rc.FR
+    expected_h = h_eval * rc.finv((xn - 1) % rc.FR, rc.FR) % rc.FR
+    got_h = ev("h", x)
+    if expected_h != got_h:
+        print(f"  [selfcheck] QUOTIENT IDENTITY MISMATCH at x: "
+              f"expected {expected_h:#x} got {got_h:#x}", flush=True)
+    else:
+        print("  [selfcheck] quotient identity at x: OK", flush=True)
 
 
 # ---------------------------------------------------------------------------
@@ -507,12 +614,31 @@ def _chunk_cols(fn, cols, group=_NTT_GROUP):
 
 
 def _lag2coeff_batch(cols: jnp.ndarray, k: int) -> jnp.ndarray:
-    """(C, n, NL) Lagrange columns -> monomial coeffs, group-chunked iNTTs."""
+    """(C, n, NL) Lagrange columns -> monomial coeffs, group-chunked iNTTs.
+
+    On TPU the transform dispatches to the MXU four-step (ops/ntt_mxu) —
+    eagerly, outside the jitted radix-2 wrapper, so its constant DFT
+    matrices stay program ARGUMENTS (see ntt._mxu_wanted)."""
+    if ntt._mxu_wanted(cols, k):
+        from ..ops import ntt_mxu
+        return _chunk_cols(
+            lambda c: jnp.swapaxes(ntt_mxu.intt(jnp.moveaxis(c, 0, 1), k),
+                                   0, 1), cols)
     return _chunk_cols(lambda c: _lag2coeff_jit(c, k), cols)
 
 
 def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
     """(C, n, NL) coeffs -> (C, ext_n, NL) coset values, group-chunked."""
+    if ntt._mxu_wanted(cols, ext_k):
+        from ..ops import ntt_mxu
+        ext_n = 1 << ext_k
+
+        def conv(c):
+            x = jnp.moveaxis(c, 0, 1)                     # (n, C, NL)
+            x = jnp.pad(x, ((0, ext_n - x.shape[0]), (0, 0), (0, 0)))
+            return jnp.moveaxis(ntt_mxu.coset_ntt(x, ext_k, g), 1, 0)
+
+        return _chunk_cols(conv, cols)
     return _chunk_cols(lambda c: _coeff2ext_jit(c, ext_k, g), cols)
 
 
@@ -738,6 +864,12 @@ def _quotient_fn(pk: ProvingKey):
                                      lks_ext, chal, fixed_ext, sigma_ext,
                                      l0_ext_c, llast_ext_c, lblind_ext_c,
                                      ident_ext_c, zh_inv)
+        if ntt._mxu_wanted(h_values, dom.extended_k):
+            from ..ops import ntt_mxu
+            h_coeffs = ntt_mxu.coset_intt(h_values, dom.extended_k,
+                                          dom.G_COSET)
+            return jnp.stack([h_coeffs[i * n:(i + 1) * n]
+                              for i in range(qd)])
         return _ext2coeff_pieces(h_values, dom.extended_k,
                                  dom.g_coset_inv, (qd, n))
 

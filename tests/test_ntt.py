@@ -78,3 +78,39 @@ def test_ntt_multicolumn():
     for c in range(C):
         got = list(Fr.to_ints(out[:, c]))
         assert got == naive_dft(cols[c], k)
+
+
+def test_ntt_mxu_matches_radix2():
+    """The MXU four-step (ops/ntt_mxu) must agree with the radix-2 path
+    mod p for every transform flavor, across base-case and recursive
+    sizes (k=8,10 exercise two recursion levels)."""
+    import numpy as np
+    from halo2_zkcert_tpu.ops import limbs, ntt_mxu
+
+    rng = np.random.default_rng(7)
+    g = rc.FR_GENERATOR
+
+    def ints(arr):
+        a = np.asarray(arr)
+        return [[limbs.limbs_to_int(a[i, j]) % rc.FR
+                 for j in range(a.shape[1])] for i in range(a.shape[0])]
+
+    for k in (5, 8, 10):
+        n = 1 << k
+        a = jnp.asarray(rng.integers(0, 256, size=(n, 2, limbs.NLIMBS),
+                                     dtype=np.int32))
+        for name, ref_fn, mxu_fn in (
+                ("ntt", lambda x: nttmod._ntt_impl(
+                    x, *nttmod._device_tables(k, False), k, False),
+                 lambda x: ntt_mxu.ntt(x, k)),
+                ("intt", lambda x: nttmod._ntt_impl(
+                    x, *nttmod._device_tables(k, True), k, True),
+                 lambda x: ntt_mxu.intt(x, k)),
+        ):
+            assert ints(ref_fn(a)) == ints(mxu_fn(a)), (name, k)
+        ref = nttmod.scale_by_powers(a, g, n)
+        ref = nttmod._ntt_impl(ref, *nttmod._device_tables(k, False), k,
+                               False)
+        assert ints(ref) == ints(ntt_mxu.coset_ntt(a, k, g)), ("coset", k)
+        back = ntt_mxu.coset_intt(jnp.asarray(np.asarray(ref)), k, g)
+        assert ints(back) == ints(a), ("coset roundtrip", k)

@@ -23,6 +23,16 @@ NL = limbs.NLIMBS
 
 pytestmark = pytest.mark.slow  # CPU-mesh compiles dominate (no AOT cache)
 
+# These tests place data on CPU devices, but the Pallas TPU kernels key off
+# jax.default_backend() — on a TPU host they would try to lower TPU kernels
+# for CPU-committed inputs and error out.  Run them only when the whole
+# process is on CPU (HALO2_TESTS_ON_CPU=1, as the driver's dryrun does).
+if jax.default_backend() != "cpu":
+    pytestmark = [pytest.mark.slow,
+                  pytest.mark.skip(reason="needs CPU backend "
+                                   "(HALO2_TESTS_ON_CPU=1); Pallas kernels "
+                                   "key off jax.default_backend()")]
+
 
 @pytest.fixture(scope="module")
 def cpu_mesh():
@@ -76,7 +86,6 @@ def test_msm_sharded_matches_single(cpu_mesh):
 
 def test_msm_sharded_lowers_to_collective(cpu_mesh):
     """The cross-device combine must be an all-gather, not a host gather."""
-    from jax import shard_map
     n = 32
     pts_np, scal_np = _example_points_scalars(n, seed=9)
     pts = jax.device_put(pts_np, NamedSharding(cpu_mesh, P("d", None, None)))
@@ -88,6 +97,28 @@ def test_msm_sharded_lowers_to_collective(cpu_mesh):
     txt = jax.jit(run).lower(pts, scal).compile().as_text()
     assert "all-gather" in txt or "all-reduce" in txt, \
         "sharded MSM lost its collective"
+
+
+def test_sharded_proof_bytes_match(cpu_mesh):
+    """THE sharded-prover contract: create_proof under prover_mesh produces
+    byte-identical output to the single-device proof (reference analog:
+    rayon `best_multiexp` is thread-count-invariant [dep Cargo.lock:1320]).
+    Routes the toy k=6 circuit's commits through msm_sharded and the NTT
+    conversions through mesh-pinned shardings (parallel/context.py)."""
+    from halo2_zkcert_tpu.parallel import prover_mesh
+    from halo2_zkcert_tpu.plonk import create_proof, keygen, setup
+    from halo2_zkcert_tpu.transcript import PoseidonTranscript
+    from tests.test_plonk_e2e import build_toy
+
+    data, advice, instances = build_toy()
+    params = setup(6)
+    pk = keygen(params, data)
+    single = create_proof(params, pk, advice, instances,
+                          PoseidonTranscript())
+    with prover_mesh(cpu_mesh):
+        sharded = create_proof(params, pk, advice, instances,
+                               PoseidonTranscript())
+    assert sharded == single
 
 
 def test_ntt_sharded_matches_single(cpu_mesh):

@@ -157,8 +157,43 @@ def bench_sort(k=17):
           lambda x, y: frops.lookup_permute_device(x, y, usable)[0], a, a)
 
 
+def bench_mxu():
+    """Raw MXU throughput: s8xs8->s32 and bf16->f32 matmuls at the
+    ntt_mxu.py operand shapes — validates the int8 MXU lowering."""
+    rng = np.random.default_rng(0)
+    for dt, pe, label in ((jnp.int8, jnp.int32, "s8xs8->s32"),
+                          (jnp.bfloat16, jnp.float32, "bf16->f32 ")):
+        m, k, n = 8448, 4352, 8192
+        a = jnp.asarray(rng.integers(-100, 100, size=(m, k)), dtype=dt)
+        b = jnp.asarray(rng.integers(-100, 100, size=(k, n)), dtype=dt)
+
+        @jax.jit
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=pe)
+
+        t = timed(f"matmul {label} ({m}x{k}x{n})", mm, a, b)
+        print(f"  {'':42s} {2*m*k*n/t/1e12:9.2f} Tops/s")
+
+
+def bench_ntt_mxu():
+    from halo2_zkcert_tpu.ops import ntt_mxu
+    rng = np.random.default_rng(2)
+    for k, cols in ((17, 8), (19, 8)):
+        n = 1 << k
+        a = jnp.asarray(rng.integers(0, 256, size=(n, cols, NL),
+                                     dtype=np.int32))
+        print(f"MXU NTT (2^{k} x {cols} cols):")
+        timed("ntt_mxu", lambda x: ntt_mxu.ntt(x, k), a)
+        timed("intt_mxu", lambda x: ntt_mxu.intt(x, k), a)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "mxu"):
+        bench_mxu()
+    if which in ("all", "ntt_mxu"):
+        bench_ntt_mxu()
     if which in ("all", "field"):
         bench_fieldops()
     if which in ("all", "msm"):
