@@ -14,6 +14,9 @@ from halo2_zkcert_tpu.plonk import create_proof, keygen, run_mock, setup, verify
 from halo2_zkcert_tpu.transcript import PoseidonTranscript
 from halo2_zkcert_tpu.utils import refcrypto as rc
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 
 def _toy_inner_snark(k: int = 6) -> InnerSnark:
     """Tiny builder circuit: proves knowledge of x with x^3 + x == 10 for

@@ -14,6 +14,9 @@ from halo2_zkcert_tpu.circuits.ecc_gadget import EccGadget
 from halo2_zkcert_tpu.plonk import run_mock
 from halo2_zkcert_tpu.utils import refcrypto as rc
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 A_VAL = 0x1234567890ABCDEF1234567890ABCDEF1234567890ABCDEF1234567890ABCD
 B_VAL = 0xFEDCBA0987654321FEDCBA0987654321FEDCBA0987654321FEDCBA09876543
 

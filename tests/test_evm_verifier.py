@@ -8,6 +8,9 @@ from halo2_zkcert_tpu.transcript import KeccakTranscript
 from halo2_zkcert_tpu.utils import refcrypto as rc
 from tests.test_plonk_e2e import build_toy
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 
 @pytest.fixture(scope="module")
 def evm_setup():

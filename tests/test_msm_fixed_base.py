@@ -12,6 +12,9 @@ from halo2_zkcert_tpu.ops import limbs, msm_fb
 from halo2_zkcert_tpu.ops.field import Fr
 from halo2_zkcert_tpu.utils import refcrypto as rc
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 
 def _base(n):
     g = rc.g1_from_affine(rc.G1_GEN)

@@ -13,6 +13,9 @@ from halo2_zkcert_tpu.ops import curve, limbs, pallas_limbs
 from halo2_zkcert_tpu.ops.field import FQ, FR
 from halo2_zkcert_tpu.utils import refcrypto as rc
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):

@@ -18,6 +18,9 @@ from halo2_zkcert_tpu.plonk import (
 from halo2_zkcert_tpu.transcript import KeccakTranscript, PoseidonTranscript
 from halo2_zkcert_tpu.utils import refcrypto as rc
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 K = 6
 N = 1 << K
 

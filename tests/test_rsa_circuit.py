@@ -14,6 +14,9 @@ from halo2_zkcert_tpu.circuits.rsa import NUM_SQUARINGS, RsaCircuit
 from halo2_zkcert_tpu.plonk import run_mock
 from tests.chainutil import generate_chain
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 
 @pytest.fixture(scope="module")
 def chain():

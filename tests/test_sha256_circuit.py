@@ -12,6 +12,9 @@ from halo2_zkcert_tpu.circuits.sha256 import Sha256Circuit, min_k, num_blocks
 from halo2_zkcert_tpu.plonk import create_proof, keygen, run_mock, setup, verify_proof
 from halo2_zkcert_tpu.transcript import PoseidonTranscript
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 MSG = b"halo2-zkcert-tpu: sha256 circuit test vector!!"  # 46 bytes, 1 block
 
 

@@ -9,6 +9,9 @@ import pytest
 from halo2_zkcert_tpu.circuits.sha256_gate import Sha256GateCircuit
 from halo2_zkcert_tpu.plonk import run_mock
 
+pytestmark = pytest.mark.slow  # proving/mock at circuit scale; fast tier = -m 'not slow'
+
+
 MSG = b"unoptimized sha256 over the vertical gate"
 
 
