@@ -312,6 +312,9 @@ class FixedBaseMsm:
         """scalars (N, NL) Fr limbs -> homogeneous projective point
         (tuple of (NL,) arrays, curve.py conventions)."""
         assert scalars.shape[0] == self.n, (scalars.shape, self.n)
+        if self.nwin * self.n > self.STREAM_PAIRS:
+            res = self._msm_many_streamed(scalars[None])
+            return tuple(res[0, c] for c in range(3))
         digits = _digits(scalars, self.wbits)            # (N, NWIN)
         assert digits.shape[1] * self.n == self.table_flat.shape[0], \
             "window tables do not match digit count (stale cache?)"
@@ -323,10 +326,18 @@ class FixedBaseMsm:
         """(1, NWIN*N) window-major table indices for full-width scalars."""
         return (jnp.arange(self.nwin * self.n, dtype=jnp.int32))[None]
 
+    # Above this many flat (window, point) pairs per column, the all-chunks
+    # batch program's gather working set exceeds HBM (k=17 is 2.2M pairs
+    # ~1.2 GB live; k>=19 aggregation domains would blow past 16 GB), so
+    # big columns stream CHUNK-sized slices through one compiled program.
+    STREAM_PAIRS = 1 << 23
+
     def msm_many(self, cols, group: int = GROUP) -> jnp.ndarray:
         """(m, N, NL) -> (m, 3, NL) projective accumulators, processed in
         `group`-sized column batches (zero-padded -> one compiled shape; the
         sort/scan fixed costs amortize across the group)."""
+        if self.nwin * self.n > self.STREAM_PAIRS:
+            return self._msm_many_streamed(cols)
         m = cols.shape[0]
         outs = []
         base = 0
@@ -349,6 +360,29 @@ class FixedBaseMsm:
             outs.append(res)
             np.asarray(outs[-1][0, 0, :1])  # host fetch: bound in-flight
             base += group
+        return jnp.concatenate(outs, axis=0)
+
+    def _msm_many_streamed(self, cols) -> jnp.ndarray:
+        """Large-domain commit path: per column, slice the flat pair stream
+        into CHUNK-sized rounds through ONE compiled sort+scan program
+        (`_chunk_buckets`, dynamic offset), accumulating bucket partials —
+        live memory stays O(CHUNK + 2^wbits) regardless of n."""
+        m = cols.shape[0]
+        outs = []
+        for j in range(m):
+            digits = _digits(cols[j], self.wbits)
+            digits_flat = digits.T.reshape(-1)
+            total = digits_flat.shape[0]
+            assert total % CHUNK == 0, (total, CHUNK)
+            buckets = None
+            for off in range(0, total, CHUNK):
+                part = _chunk_buckets(self.table_flat, digits_flat,
+                                      off, CHUNK, self.wbits)
+                buckets = part if buckets is None \
+                    else _add_buckets(buckets, part)
+                np.asarray(buckets[0][:1, :1])   # bound in-flight memory
+            acc = _combine_buckets(buckets, self.wbits)
+            outs.append(jnp.stack(acc)[None])
         return jnp.concatenate(outs, axis=0)
 
     def _small_layout(self, value_windows: int, blind_lo: int):

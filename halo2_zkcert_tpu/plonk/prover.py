@@ -271,6 +271,38 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         z_batch.append(z)
         lkd["z"] = z
 
+    if _os.environ.get("H2T_SELFCHECK") == "3":
+        # level 3: validate the grand-product recurrences over H (mock
+        # checks gates/lookups/copies but NOT the prover-built Z columns)
+        from ..ops.field import FR as _FRS
+
+        def allzero(arr, upto, what):
+            ok = bool(jnp.all(limbs.is_zero(_FRS, arr[:upto])))
+            print(f"  [selfcheck3] {what}: {'OK' if ok else 'VIOLATED'}",
+                  flush=True)
+
+        for ci in range(len(chunks)):
+            z = perm_zs[ci]
+            resid = frops.sub(frops.mul(jnp.roll(z, -1, axis=0), dens[ci]),
+                              frops.mul(z, nums[ci]))
+            allzero(resid, u_row, f"perm_z{ci} recurrence")
+            if ci:
+                allzero(frops.sub(perm_zs[ci][:1],
+                                  perm_zs[ci - 1][u_row:u_row + 1]), 1,
+                        f"perm_z{ci} chain start")
+        one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
+        allzero(frops.sub(perm_zs[-1][u_row:u_row + 1], one_row), 1,
+                "perm_z last == 1 at u_row")
+        for li, lkd in enumerate(lookups):
+            z = lkd["z"]
+            resid = frops.sub(
+                frops.mul(jnp.roll(z, -1, axis=0),
+                          frops.mul(frops.add(lkd["a_perm"], beta_l),
+                                    frops.add(lkd["s_perm"], gamma_l))),
+                frops.mul(z, frops.mul(frops.add(lkd["a"], beta_l),
+                                       frops.add(lkd["s"], gamma_l))))
+            allzero(resid, u_row, f"lookup{li}_z recurrence")
+
     # -- 5: vanishing random poly — defined by its (uniform) VALUES over H
     # and committed through the Lagrange SRS in the same batch as the
     # grand-product columns (one device program fewer on the critical path)
@@ -374,16 +406,30 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         need(f"lookup{li}_s", x)
     need("h", x)
 
-    points = []
-    for _, pt in pairs:
-        if pt not in points:
-            points.append(pt)
-    xs_stack = jnp.stack([_fr(pt) for pt in points])
-    scales = jnp.stack([_fr(dom.bary_scale(pt)) for pt in points])
-    weights = frops.bary_weights(dom.omega_pows_device, xs_stack, scales)
-    vals_stack = jnp.stack([values[nm] for nm, _ in pairs])
-    widx = jnp.asarray([points.index(pt) for _, pt in pairs], jnp.int32)
-    res = np.asarray(frops.eval_lagrange_many(vals_stack, weights, widx))
+    if _os.environ.get("H2T_EVAL_MODE") == "coeff":
+        # bisect/fallback path: round-1-style evaluation from coefficient
+        # forms (one batched iNTT over the queried columns + Horner)
+        names = []
+        for nm, _ in pairs:
+            if nm not in names:
+                names.append(nm)
+        coeff_stack = _lag2coeff_batch(
+            jnp.stack([values[nm] for nm in names]), dom.k)
+        cidx = {nm: i for i, nm in enumerate(names)}
+        polys_stack = jnp.stack([coeff_stack[cidx[nm]] for nm, _ in pairs])
+        xs_stack = jnp.stack([_fr(pt) for _, pt in pairs])
+        res = np.asarray(frops.poly_eval_many(polys_stack, xs_stack))
+    else:
+        points = []
+        for _, pt in pairs:
+            if pt not in points:
+                points.append(pt)
+        xs_stack = jnp.stack([_fr(pt) for pt in points])
+        scales = jnp.stack([_fr(dom.bary_scale(pt)) for pt in points])
+        weights = frops.bary_weights(dom.omega_pows_device, xs_stack, scales)
+        vals_stack = jnp.stack([values[nm] for nm, _ in pairs])
+        widx = jnp.asarray([points.index(pt) for _, pt in pairs], jnp.int32)
+        res = np.asarray(frops.eval_lagrange_many(vals_stack, weights, widx))
     evals = {pair: int(limbs.limbs_to_int(res[i]) % rc.FR)
              for i, pair in enumerate(pairs)}
 
@@ -411,10 +457,43 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         transcript.write_scalar(ev(f"lookup{li}_s", x))
 
     _tick("evals")
-    if _os.environ.get("H2T_SELFCHECK"):
+    _sc = _os.environ.get("H2T_SELFCHECK")
+    if _sc:
         _selfcheck_quotient_identity(csys, dom, instances, evals, challenges,
                                      theta, beta, gamma, y, x, xn, len(chunks),
                                      chunk_len, u_row, n)
+    if _sc == "2":
+        # level 2: host-oracle cross-evals (slow; splits barycentric-eval
+        # defects from quotient-pipeline defects)
+        def host_bary(vals_arr, pt):
+            v = np.asarray(vals_arr)
+            scale = dom.bary_scale(pt)
+            wi, acc = 1, 0
+            for i in range(n):
+                vi = int(limbs.limbs_to_int(v[i])) % rc.FR
+                if vi:
+                    acc = (acc + vi * wi % rc.FR
+                           * rc.finv((pt - wi) % rc.FR, rc.FR)) % rc.FR
+                wi = wi * dom.omega % rc.FR
+            return acc * scale % rc.FR
+
+        def host_horner(coeff_arr, pt):
+            c = np.asarray(coeff_arr)
+            acc = 0
+            for i in range(c.shape[0] - 1, -1, -1):
+                acc = (acc * pt + int(limbs.limbs_to_int(c[i]))) % rc.FR
+            return acc
+
+        for nm in ("advice0", "sigma0", "h"):
+            got = evals[(nm, x)]
+            want = host_bary(values[nm], x)
+            print(f"  [selfcheck2] bary({nm}, x): "
+                  f"{'OK' if got == want else f'MISMATCH got {got:#x} want {want:#x}'}",
+                  flush=True)
+        hh = host_horner(h_collapsed, x)
+        print(f"  [selfcheck2] horner(h_collapsed, x) "
+              f"{'== ' if hh == evals[('h', x)] else '!= '}bary(h values); "
+              f"horner={hh:#x}", flush=True)
     # -- 8: multiopen -----------------------------------------------------------------
     queries = []
 
@@ -588,6 +667,19 @@ def _coeff2ext_jit(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
 _NTT_GROUP = 8
 
 
+def _group_for(out_rows: int, group=None) -> int:
+    """Columns per conversion program, scaled down for big domains so the
+    live working set stays bounded (k>=19 aggregation domains would blow
+    HBM at the fixed group of 8)."""
+    if group is not None:
+        return group
+    budget = int(_os.environ.get("H2T_NTT_GROUP_BYTES", 600 << 20))
+    return max(1, min(_NTT_GROUP, budget // (out_rows * 4 * NL)))
+
+
+import os as _os
+
+
 def _chunk_cols(fn, cols, group=_NTT_GROUP):
     m = cols.shape[0]
     if m == 0:
@@ -619,16 +711,18 @@ def _lag2coeff_batch(cols: jnp.ndarray, k: int) -> jnp.ndarray:
     On TPU the transform dispatches to the MXU four-step (ops/ntt_mxu) —
     eagerly, outside the jitted radix-2 wrapper, so its constant DFT
     matrices stay program ARGUMENTS (see ntt._mxu_wanted)."""
+    g = _group_for(1 << k)
     if ntt._mxu_wanted(cols, k):
         from ..ops import ntt_mxu
         return _chunk_cols(
             lambda c: jnp.swapaxes(ntt_mxu.intt(jnp.moveaxis(c, 0, 1), k),
-                                   0, 1), cols)
-    return _chunk_cols(lambda c: _lag2coeff_jit(c, k), cols)
+                                   0, 1), cols, group=g)
+    return _chunk_cols(lambda c: _lag2coeff_jit(c, k), cols, group=g)
 
 
 def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
     """(C, n, NL) coeffs -> (C, ext_n, NL) coset values, group-chunked."""
+    grp = _group_for(1 << ext_k)
     if ntt._mxu_wanted(cols, ext_k):
         from ..ops import ntt_mxu
         ext_n = 1 << ext_k
@@ -638,8 +732,8 @@ def _coeff2ext_batch(cols: jnp.ndarray, ext_k: int, g: int) -> jnp.ndarray:
             x = jnp.pad(x, ((0, ext_n - x.shape[0]), (0, 0), (0, 0)))
             return jnp.moveaxis(ntt_mxu.coset_ntt(x, ext_k, g), 1, 0)
 
-        return _chunk_cols(conv, cols)
-    return _chunk_cols(lambda c: _coeff2ext_jit(c, ext_k, g), cols)
+        return _chunk_cols(conv, cols, group=grp)
+    return _chunk_cols(lambda c: _coeff2ext_jit(c, ext_k, g), cols, group=grp)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -652,6 +746,136 @@ def _ext2coeff_pieces(values: jnp.ndarray, ext_k: int, g_inv: int,
     gpi = frops.powers(Fr.from_ints([g_inv])[0], 1 << ext_k)
     h_coeffs = limbs.mul(FRS, hc, gpi)
     return jnp.stack([h_coeffs[i * n:(i + 1) * n] for i in range(qd)])
+
+
+def _oracle_quotient_window(pk, dom, col_ext, permz_ext, lkz_ext, lka_ext,
+                            lks_ext, fixed_ext, sigma_ext, l0_ext, llast_ext,
+                            lblind_ext, ident_ext, zh_inv, chal, h_values,
+                            s: int = 17, W: int = 8):
+    """H2T_SELFCHECK=4: recompute h over a small extended-domain row window
+    with PYTHON-INT arithmetic straight from the (fetched) extended leaf
+    planes — an exact oracle for the fused pointwise evaluator + Z_H
+    division, independent of Pallas/XLA numerics."""
+    csys = pk.vk.cs
+    n, ext_n = dom.n, dom.extended_n
+    stride = ext_n // n
+    bf = csys.blinding_factors()
+    u_row = n - bf - 1
+    chunk_len = csys.permutation_chunk_len()
+    perm_cols = csys.permutation_columns
+    chunks = [perm_cols[i:i + chunk_len]
+              for i in range(0, len(perm_cols), chunk_len)]
+    na = csys.num_advice
+    idx = np.arange(s, s + W)
+
+    chal_np = np.asarray(chal)
+    chal_i = [int(limbs.limbs_to_int(chal_np[i])) % rc.FR
+              for i in range(chal_np.shape[0])]
+    theta_i, beta_i, gamma_i, y_i = chal_i[:4]
+
+    def fetch(arr, r=0):
+        rows = (idx + r * stride) % ext_n
+        a = np.asarray(jnp.take(arr, jnp.asarray(rows), axis=0))
+        return [int(limbs.limbs_to_int(a[i])) % rc.FR for i in range(W)]
+
+    def ew(op, a, b):
+        return [op(x, y) % rc.FR for x, y in zip(a, b)]
+
+    fadd = lambda a, b: ew(lambda x, y: x + y, a, b)
+    fsub = lambda a, b: ew(lambda x, y: x - y, a, b)
+    fmul = lambda a, b: ew(lambda x, y: x * y, a, b)
+    bc = lambda v: [v % rc.FR] * W
+
+    def ext_leaf(e):
+        return ex.evaluate(
+            e,
+            constant=lambda v: bc(v),
+            fixed=lambda i, r: fetch(fixed_ext[i], r),
+            advice=lambda i, r: fetch(col_ext[i], r),
+            instance=lambda i, r: fetch(col_ext[na + i], r),
+            challenge=lambda i: bc(chal_i[4 + i]),
+            add=fadd, mul=fmul,
+            scale=lambda a, sc: fmul(a, bc(sc)),
+        )
+
+    l0_v, llast_v, lblind_v = (fetch(x) for x in (l0_ext, llast_ext,
+                                                  lblind_ext))
+    ident_v = fetch(ident_ext)
+    one_v = bc(1)
+    active_v = fsub(one_v, fadd(llast_v, lblind_v))
+
+    h = None
+
+    def acc(term):
+        nonlocal h
+        h = term if h is None else fadd(fmul(h, bc(y_i)), term)
+
+    for _, g in csys.gates:
+        acc(ext_leaf(g))
+    if chunks:
+        pz = [fetch(permz_ext[c]) for c in range(len(chunks))]
+        pz_next = [fetch(permz_ext[c], 1) for c in range(len(chunks))]
+        acc(fmul(l0_v, fsub(one_v, pz[0])))
+        acc(fmul(llast_v, fsub(fmul(pz[-1], pz[-1]), pz[-1])))
+        for c in range(1, len(chunks)):
+            acc(fmul(l0_v, fsub(pz[c], fetch(permz_ext[c - 1], u_row))))
+        for ci, chunk in enumerate(chunks):
+            left, right = pz_next[ci], pz[ci]
+            for pos, col in enumerate(chunk):
+                gpos = ci * chunk_len + pos
+                if col.kind == ADVICE:
+                    v = fetch(col_ext[col.index])
+                elif col.kind == INSTANCE:
+                    v = fetch(col_ext[na + col.index])
+                else:
+                    v = fetch(fixed_ext[col.index])
+                sig = fetch(sigma_ext[gpos])
+                left = fmul(left, fadd(fadd(v, fmul(sig, bc(beta_i))),
+                                       bc(gamma_i)))
+                right = fmul(right, fadd(fadd(
+                    v, fmul(ident_v,
+                            bc(beta_i * pow(DELTA, gpos, rc.FR)))),
+                    bc(gamma_i)))
+            acc(fmul(active_v, fsub(left, right)))
+    for li, lk in enumerate(csys.lookups):
+        z_v, a_v, s_v = (fetch(x[li]) for x in (lkz_ext, lka_ext, lks_ext))
+        zn_v = fetch(lkz_ext[li], 1)
+        ap_v = fetch(lka_ext[li], -1)
+        a_comp = None
+        for p_in, _ in lk.pairs:
+            v = ext_leaf(p_in)
+            a_comp = v if a_comp is None else fadd(fmul(a_comp, bc(theta_i)),
+                                                   v)
+        s_comp = None
+        for _, p_tab in lk.pairs:
+            v = ext_leaf(p_tab)
+            s_comp = v if s_comp is None else fadd(fmul(s_comp, bc(theta_i)),
+                                                   v)
+        acc(fmul(l0_v, fsub(one_v, z_v)))
+        acc(fmul(llast_v, fsub(fmul(z_v, z_v), z_v)))
+        lhs = fmul(fmul(zn_v, fadd(a_v, bc(beta_i))), fadd(s_v, bc(gamma_i)))
+        rhs = fmul(fmul(z_v, fadd(a_comp, bc(beta_i))),
+                   fadd(s_comp, bc(gamma_i)))
+        acc(fmul(active_v, fsub(lhs, rhs)))
+        acc(fmul(l0_v, fsub(a_v, s_v)))
+        acc(fmul(fmul(active_v, fsub(a_v, s_v)), fsub(a_v, ap_v)))
+
+    want = fmul(h, fetch(jnp.asarray(zh_inv)))
+    got = fetch(h_values)
+    bad = [i for i in range(W) if want[i] != got[i]]
+    if bad:
+        print(f"  [selfcheck4] QUOTIENT WINDOW MISMATCH rows {s}+{bad}: "
+              f"want {want[bad[0]]:#x} got {got[bad[0]]:#x}", flush=True)
+    else:
+        print(f"  [selfcheck4] quotient window rows [{s},{s + W}): OK",
+              flush=True)
+
+    if _os.environ.get("H2T_SELFCHECK") == "5":
+        # level 5: spot-check the Lagrange->extended CONVERSION of one
+        # column: col_ext[0] row s must equal the barycentric eval of the
+        # original Lagrange column at g*w_ext^s (host, exact)
+        print("  [selfcheck5] (conversion spot-check runs in create_proof)",
+              flush=True)
 
 
 class _QuotientCtx:
@@ -864,6 +1088,12 @@ def _quotient_fn(pk: ProvingKey):
                                      lks_ext, chal, fixed_ext, sigma_ext,
                                      l0_ext_c, llast_ext_c, lblind_ext_c,
                                      ident_ext_c, zh_inv)
+        if _os.environ.get("H2T_SELFCHECK") in ("4", "5") \
+                and pk.__dict__.get("quotient_custom") is None:
+            _oracle_quotient_window(
+                pk, dom, col_ext, permz_ext, lkz_ext, lka_ext, lks_ext,
+                fixed_ext, sigma_ext, l0_ext_c, llast_ext_c, lblind_ext_c,
+                ident_ext_c, zh_inv, chal, h_values)
         if ntt._mxu_wanted(h_values, dom.extended_k):
             from ..ops import ntt_mxu
             h_coeffs = ntt_mxu.coset_intt(h_values, dom.extended_k,

@@ -44,3 +44,28 @@ def test_gen_params_writes_srs_cache(tmp_path, monkeypatch, capsys):
 def test_unknown_command_rejected():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+@pytest.mark.slow
+def test_prove_zkevm_sha256_end_to_end(tmp_path, monkeypatch, capsys):
+    """Full CLI proving path (keygen -> prove -> self-verified snark) over a
+    real certificate fixture — reference `prove-zkevm-sha256` (cli.rs:128).
+    Uses the repo-level params cache (SRS gen at fresh k is expensive)."""
+    import os
+    repo_params = os.path.join(os.path.dirname(__file__), "..", "params")
+    monkeypatch.setenv("PARAMS_DIR", repo_params)
+    build = tmp_path / "build"
+    cert = os.path.join(os.path.dirname(__file__), "..", "testdata",
+                        "example_cert_3.pem")
+    cli.main(["prove-zkevm-sha256", "--cert-path", cert,
+              "--build-dir", str(build),
+              "--pk-path", str(build / "zkevm_sha256.pk"),
+              "--proof-path", str(build / "zkevm_sha256.proof"),
+              "--params-path", repo_params, "--k", "0"])
+    out = capsys.readouterr().out
+    assert "snark written" in out
+    assert (build / "zkevm_sha256.proof").exists()
+    # the snark artifact round-trips and carries the right instance shape
+    from halo2_zkcert_tpu import sdk
+    s = sdk.Snark.read(str(build / "zkevm_sha256.proof"))
+    assert len(s.instances[0]) == 2          # lo/hi u128 digest halves

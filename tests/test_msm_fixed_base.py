@@ -86,3 +86,24 @@ def test_msm_many_bounded():
     for m in range(3):
         want = rc.g1_msm(pts, cols_int[m])
         assert _affine((accs[m, 0], accs[m, 1], accs[m, 2])) == want
+
+
+def test_msm_streamed_matches(monkeypatch):
+    """Large-domain streaming path (chunked bucket accumulation) must match
+    the oracle; forced on at tiny n via the pair-count threshold."""
+    n = 16
+    arr, pts = _base(n)
+    fb = msm_fb.FixedBaseMsm(arr, wbits=8)
+    monkeypatch.setattr(fb, "STREAM_PAIRS", 1, raising=False)
+    monkeypatch.setattr(msm_fb, "CHUNK", (34 * n) // 2)   # 2 slices
+    rng = np.random.default_rng(5)
+    cols_int = [[int(v) * 0xFFFF9 % rc.FR for v in rng.integers(0, 1 << 62, size=n)]
+                for _ in range(2)]
+    cols = jnp.stack([Fr.from_ints(c) for c in cols_int])
+    accs = fb.msm_many(cols)
+    for m in range(2):
+        want = rc.g1_msm(pts, cols_int[m])
+        assert _affine((accs[m, 0], accs[m, 1], accs[m, 2])) == want
+    # single-point entry too
+    acc = fb(cols[0])
+    assert _affine(acc) == rc.g1_msm(pts, cols_int[0])
