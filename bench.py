@@ -93,9 +93,32 @@ def bench_rsa_prove():
     witness_fn, instances = circuit.witness(sig, digest)
     create_proof(params, pk, witness_fn, instances, PoseidonTranscript())
     dt = time.perf_counter() - t0
+
+    # kernel throughput detail (BASELINE.md: MSM+NTT ops/s per chip)
+    import numpy as np
+    import jax.numpy as jnp
+    from halo2_zkcert_tpu.ops import limbs, ntt
+    from halo2_zkcert_tpu.plonk.kzg import commit_many_lagrange
+    rng = np.random.default_rng(7)
+    col = jnp.asarray(rng.integers(0, 256, size=(1, 1 << 17, limbs.NLIMBS),
+                                   dtype=np.int32))
+    commit_many_lagrange(params, col)         # warm
+    t1 = time.perf_counter()
+    commit_many_lagrange(params, col)
+    t_msm = time.perf_counter() - t1
+    poly = col[0]
+    np.asarray(ntt.ntt(poly, 17))[:1]         # warm
+    t1 = time.perf_counter()
+    np.asarray(ntt.ntt(poly, 17))[:1]
+    t_ntt = time.perf_counter() - t1
+
     baseline = 1.813  # c6a.48xlarge, README.md:48
     return {"metric": "rsa_k17_prove_s", "value": round(dt, 3), "unit": "s",
-            "vs_baseline": round(baseline / dt, 3)}
+            "vs_baseline": round(baseline / dt, 3),
+            "detail": {"msm_2e17_ops_per_s": round((1 << 17) / t_msm, 1),
+                       "ntt_2e17_ops_per_s": round((1 << 17) / t_ntt, 1),
+                       "msm_2e17_s": round(t_msm, 3),
+                       "ntt_2e17_s": round(t_ntt, 3)}}
 
 
 def main():

@@ -228,18 +228,27 @@ def scalar_mul(P, scalar_digits: jnp.ndarray) -> tuple:
 
 def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery batch inversion over the leading axis: one Fermat inversion
-    + prefix/suffix product scans. a: (N, NLIMBS) nonzero (0 -> garbage/0)."""
+    + prefix/suffix product scans. a: (N, NLIMBS) nonzero (0 -> garbage/0).
+
+    Padded with 1s to a power-of-two length first — the grid scan at
+    non-power-of-two row counts returned wrong prefixes on TPU (round-3
+    regression; see frops.batch_inv / DEBUG_R3_VERIFY_REGRESSION.md)."""
     from . import scan as scanmod
     mul1 = lambda x, y: (limbs.mul(FQ, x[0], y[0]),)
     one1 = lambda: (jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1),)
+    n = a.shape[0]
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        pad = jnp.zeros((n2 - n, NL), jnp.int32).at[:, 0].set(1)
+        a = jnp.concatenate([a, pad], axis=0)
     prefix = scanmod.prefix_scan(mul1, one1, (a,))[0]
     suffix = scanmod.suffix_scan(mul1, one1, (a,))[0]
     total_inv = limbs.inv(FQ, prefix[-1])
-    n = a.shape[0]
     one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
     pre = jnp.concatenate([one, prefix[:-1]], axis=0)
     suf = jnp.concatenate([suffix[1:], one], axis=0)
-    return _mul(_mul(pre, suf), jnp.broadcast_to(total_inv, a.shape))
+    out = _mul(_mul(pre, suf), jnp.broadcast_to(total_inv, a.shape))
+    return out[:n]
 
 
 def to_affine(P) -> jnp.ndarray:

@@ -88,14 +88,29 @@ def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
 
     a: (N, NL) with nonzero entries (zero entries produce garbage — caller
     guarantees nonzero, as halo2 does for permutation denominators).
+
+    The input is padded with 1s to a power-of-two length: the grid scan
+    with a NON-power-of-two row count (e.g. 3*2^17 from the shplonk zinv /
+    grand-product batches) returned wrong prefixes ON TPU (round-3
+    regression, docs/DEBUG_R3_VERIFY_REGRESSION.md); every power-of-two
+    size is oracle-verified.  Padding with the multiplicative identity
+    leaves every prefix/suffix on the real slice unchanged.
     """
-    prefix = _scan_mul(a)
-    suffix = scanmod.suffix_scan(_mul1, _one1, (a,))[0]
+    n = a.shape[0]
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        pad = jnp.zeros((n2 - n, NL), jnp.int32).at[:, 0].set(1)
+        a_p = jnp.concatenate([a, pad], axis=0)
+    else:
+        a_p = a
+    prefix = _scan_mul(a_p)
+    suffix = scanmod.suffix_scan(_mul1, _one1, (a_p,))[0]
     total_inv = limbs.inv(FR, prefix[-1])
     one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
     pre = jnp.concatenate([one, prefix[:-1]], axis=0)
     suf = jnp.concatenate([suffix[1:], one], axis=0)
-    return _mul(_mul(pre, suf), jnp.broadcast_to(total_inv, a.shape))
+    out = _mul(_mul(pre, suf), jnp.broadcast_to(total_inv, a_p.shape))
+    return out[:n]
 
 
 @partial(jax.jit, static_argnums=1)

@@ -246,12 +246,26 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
                               frops.add(lkd["s_perm"], gamma_l)))
 
     m_gp = len(nums)
-    den_inv = frops.batch_inv(jnp.concatenate(dens, axis=0)) \
-        .reshape(m_gp, n, NL)
-    ratios = frops.mul(jnp.stack(nums), den_inv)
-    ones = jnp.zeros((m_gp, 1, NL), jnp.int32).at[:, 0, 0].set(1)
-    shifted = jnp.concatenate([ones, ratios[:, :-1]], axis=1)
-    units = frops.prefix_product_batched(shifted)       # (m_gp, n, NL)
+    if _os.environ.get("H2T_GP_BATCHED") == "1":
+        # one shared inversion + one batched scan for every grand product —
+        # produced WRONG Z columns on TPU at k=17 (H2T_SELFCHECK=3 caught
+        # violated recurrences; docs/DEBUG_R3_VERIFY_REGRESSION.md).  Kept
+        # behind an env until the defect is isolated.
+        den_inv = frops.batch_inv(jnp.concatenate(dens, axis=0)) \
+            .reshape(m_gp, n, NL)
+        ratios = frops.mul(jnp.stack(nums), den_inv)
+        ones = jnp.zeros((m_gp, 1, NL), jnp.int32).at[:, 0, 0].set(1)
+        shifted = jnp.concatenate([ones, ratios[:, :-1]], axis=1)
+        units = frops.prefix_product_batched(shifted)   # (m_gp, n, NL)
+    else:
+        # per-column inversion + scan (round-1 semantics, TPU-proven)
+        one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
+        units_l = []
+        for i in range(m_gp):
+            ratio = frops.mul(nums[i], frops.batch_inv(dens[i]))
+            shifted1 = jnp.concatenate([one_row, ratio[:-1]], axis=0)
+            units_l.append(frops.prefix_product(shifted1))
+        units = jnp.stack(units_l)
 
     perm_zs = []
     start = _fr(1)                 # device scalar — chunk chaining, no fetch
