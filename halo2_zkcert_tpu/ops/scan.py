@@ -72,6 +72,19 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
     n = xs[0].shape[0]
     if n <= _KS_MAX:
         return _ks_scan(combine, identity1, xs, axis=0)
+    if n & (n - 1):
+        # The grid formulation returned WRONG prefixes on TPU for
+        # non-power-of-two n (round-3 regression, docs/
+        # DEBUG_R3_VERIFY_REGRESSION.md).  Guard at the PRIMITIVE so every
+        # caller is protected: pad with the monoid identity (prefixes over
+        # the real slice are unchanged) and slice the result.
+        n2 = 1 << (n - 1).bit_length()
+        ident = identity1()
+        xs = tuple(jnp.concatenate(
+            [c, jnp.broadcast_to(i, (n2 - n,) + c.shape[1:])], axis=0)
+            for c, i in zip(xs, ident))
+        out = prefix_scan(combine, identity1, xs, base)
+        return tuple(c[:n] for c in out)
     C = _C if n // _C >= base else max(2, n // base)
     assert n % C == 0, n
     R = n // C
@@ -120,6 +133,11 @@ def prefix_scan_batched_local(combine, identity1, xs: tuple,
     where the right operand is always an ORIGINAL input element — MSM
     bucket scans use a cheaper mixed add there (table points are affine)."""
     B, n = xs[0].shape[0], xs[0].shape[1]
+    # NOTE: unlike prefix_scan/prefix_scan_batched this variant is NOT
+    # power-of-two-guarded: its only callers (ops/msm_fb bucket scans) run
+    # non-power-of-two chunk widths that are TPU-verified end-to-end (k=17
+    # proofs verify; the round-3 miscompile reproduced only on the
+    # full-offset-pass variants).
     if n <= _KS_MAX:
         pref = prefix_scan_batched(combine, identity1, xs, base)
         ident = tuple(jnp.broadcast_to(c[None], (B, 1) + c.shape[1:])
@@ -161,6 +179,15 @@ def prefix_scan_batched(combine, identity1, xs: tuple,
     B, n = xs[0].shape[0], xs[0].shape[1]
     if n <= _KS_MAX:
         return _ks_scan(combine, identity1, xs, axis=1)
+    if n & (n - 1):
+        # same power-of-two guard as prefix_scan (TPU grid-scan miscompile)
+        n2 = 1 << (n - 1).bit_length()
+        ident = identity1()
+        xs = tuple(jnp.concatenate(
+            [c, jnp.broadcast_to(i[None], (B, n2 - n) + c.shape[2:])],
+            axis=1) for c, i in zip(xs, ident))
+        out = prefix_scan_batched(combine, identity1, xs, base)
+        return tuple(c[:, :n] for c in out)
     C = _C if n // _C >= base else max(2, n // base)
     assert n % C == 0, n
     R = n // C

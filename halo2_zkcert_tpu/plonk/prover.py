@@ -13,6 +13,8 @@ triggers fused device work, then a host squeeze.
 """
 from __future__ import annotations
 
+import os as _os
+
 from dataclasses import dataclass
 from functools import partial
 
@@ -74,20 +76,6 @@ def _commit_mixed(params: ParamsKZG, cols: list, bits: list,
     return pts
 
 
-def _ext_rotate(dom: Domain, arr: jnp.ndarray, rot: int) -> jnp.ndarray:
-    return jnp.roll(arr, -rot * (dom.extended_n // dom.n), axis=0)
-
-
-def _lagrange_basis_ext(dom: Domain, rows: list) -> jnp.ndarray:
-    """Extended-coset values of sum_i L_row(X) for the given rows."""
-    lag = np.zeros(dom.n, dtype=np.int64)
-    vals = [0] * dom.n
-    for r in rows:
-        vals[r] = 1
-    arr = Fr.from_ints(vals)
-    return dom.coeff_to_extended(dom.lagrange_to_coeff(arr))
-
-
 def _compress(exprs, theta: int, leaf_eval) -> jnp.ndarray:
     """theta-fold: acc = acc * theta + value (halo2 lookup compression)."""
     acc = None
@@ -121,7 +109,6 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     {col_index: (n, NL) array}` producing that phase's advice columns
     (halo2 multi-phase create_proof semantics [dep]);
     instances: list (per instance column) of lists of Fr ints."""
-    import os as _os
     import time as _time
     _prof = bool(_os.environ.get("H2T_PROFILE"))
     _t0 = _time.perf_counter()
@@ -689,9 +676,6 @@ def _group_for(out_rows: int, group=None) -> int:
         return group
     budget = int(_os.environ.get("H2T_NTT_GROUP_BYTES", 600 << 20))
     return max(1, min(_NTT_GROUP, budget // (out_rows * 4 * NL)))
-
-
-import os as _os
 
 
 def _chunk_cols(fn, cols, group=_NTT_GROUP):

@@ -2,6 +2,7 @@
 import random
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from halo2_zkcert_tpu.ops import ntt as nttmod
@@ -114,3 +115,37 @@ def test_ntt_mxu_matches_radix2():
         assert ints(ref) == ints(ntt_mxu.coset_ntt(a, k, g)), ("coset", k)
         back = ntt_mxu.coset_intt(jnp.asarray(np.asarray(ref)), k, g)
         assert ints(back) == ints(a), ("coset roundtrip", k)
+
+
+@pytest.mark.slow
+def test_ntt_mxu_nested_recursion_matches_radix2():
+    """ADVICE r3: production sizes (k=17, extended k~19-21) exercise NESTED
+    four-step recursion (k2 > MAX_RADIX_LOG splits again) — cover k=15
+    (two recursion levels: 15 -> 8 -> 1+7) including coset_intt's
+    out_scale/tw2 fold under nesting, against the radix-2 oracle."""
+    import numpy as np
+    from halo2_zkcert_tpu.ops import limbs, ntt_mxu
+
+    rng = np.random.default_rng(11)
+    g = rc.FR_GENERATOR
+    k = 15
+    n = 1 << k
+    assert k - ntt_mxu.MAX_RADIX_LOG > ntt_mxu.MAX_RADIX_LOG  # nested split
+    a = jnp.asarray(rng.integers(0, 256, size=(n, 1, limbs.NLIMBS),
+                                 dtype=np.int32))
+
+    def ints(arr):
+        x = np.asarray(arr)[:, 0]
+        return [limbs.limbs_to_int(x[i]) % rc.FR for i in range(x.shape[0])]
+
+    ref = nttmod._ntt_impl(a, *nttmod._device_tables(k, False), k, False)
+    assert ints(ref) == ints(ntt_mxu.ntt(a, k))
+    back = ntt_mxu.intt(jnp.asarray(np.asarray(ref)), k)
+    assert ints(back) == ints(a)
+    # coset round trip exercises in_scale fold (fwd) and out_scale/tw2 (inv)
+    cos = ntt_mxu.coset_ntt(a, k, g)
+    ref_cos = nttmod._ntt_impl(nttmod.scale_by_powers(a, g, n),
+                               *nttmod._device_tables(k, False), k, False)
+    assert ints(cos) == ints(ref_cos)
+    assert ints(ntt_mxu.coset_intt(jnp.asarray(np.asarray(cos)), k, g)) \
+        == ints(a)

@@ -1,13 +1,12 @@
-"""Component microbenchmarks for the prover hot path (one TPU chip).
+"""Microbenchmarks for the prover's hot primitives on the live backend.
 
-Usage: python tools/microbench.py [msm|ntt|scan|sort|all]
-
-Every timing fetch-syncs (the axon tunnel's block_until_ready is async —
-see tests/conftest.py); first call per shape compiles, so each component
-is timed on its second run.
+Usage: python tools/microbench.py [rtt] [scan] [msm] [ntt] [gp]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/h2t_jax_cache_tpu")
@@ -17,190 +16,165 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import jax.numpy as jnp
 import numpy as np
 
-from halo2_zkcert_tpu.ops import limbs, msm_fb, ntt
-from halo2_zkcert_tpu.ops.field import Fr
 
-NL = limbs.NLIMBS
-
-
-def sync(x):
-    if isinstance(x, tuple):
-        x = x[0]
-    return np.asarray(x).ravel()[:1]
-
-
-def timed(name, fn, *args, reps=1):
-    fn(*args)  # compile
-    sync(fn(*args))
-    t0 = time.perf_counter()
+def t(fn, *args, reps=3, fetch=lambda r: np.asarray(r)[..., :1]):
+    fetch(fn(*args))                       # warm/compile
+    best = 1e9
     for _ in range(reps):
-        out = fn(*args)
-    sync(out)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"  {name:42s} {dt*1e3:9.1f} ms")
-    return dt
+        t0 = time.perf_counter()
+        fetch(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
-def bench_msm(k=17):
-    n = 1 << k
+def bench_rtt():
+    x = jnp.ones((8, 128))
+    f = jax.jit(lambda x: x + 1)
+    print(f"rtt tiny-op+fetch: {t(f, x, reps=10)*1000:.1f} ms", flush=True)
+    y = jnp.ones((1 << 17, 33), jnp.int32)
+    g = jax.jit(lambda y: y * 2)
+    print(f"17MB op+fetch: {t(g, y, reps=3)*1000:.1f} ms", flush=True)
+    h = jax.jit(lambda y: (y * 2).sum())
+    print(f"17MB op, scalar fetch: {t(h, y, reps=3)*1000:.1f} ms", flush=True)
+
+
+def bench_scan():
+    from halo2_zkcert_tpu.ops import frops, scan as scanmod
+    from halo2_zkcert_tpu.ops import limbs
     rng = np.random.default_rng(0)
-    print(f"MSM components (n=2^{k}, wbits=16, GROUP=2):")
-    import os
-    d = os.environ.get("PARAMS_DIR", "./params")
-    from halo2_zkcert_tpu.plonk.kzg import gen_srs
-    params = gen_srs(k)
+    for k in (16, 17):
+        a = jnp.asarray(rng.integers(0, 255, size=(1 << k, limbs.NLIMBS),
+                                     dtype=np.int32))
+        dt = t(frops.prefix_product, a)
+        print(f"prefix_product 2^{k} (grid): {dt*1000:.1f} ms", flush=True)
+        ks = jax.jit(lambda x: scanmod._ks_scan(
+            frops._mul1, frops._one1, (x,))[0])
+        dt = t(ks, a)
+        print(f"prefix_product 2^{k} (KS):   {dt*1000:.1f} ms", flush=True)
+        dt = t(frops.batch_inv, a)
+        print(f"batch_inv 2^{k}:            {dt*1000:.1f} ms", flush=True)
+        b = jnp.asarray(rng.integers(0, 255, size=(3, 1 << k, limbs.NLIMBS),
+                                     dtype=np.int32))
+        dt = t(frops.prefix_product_batched, b)
+        print(f"prefix_product_batched 3x2^{k}: {dt*1000:.1f} ms", flush=True)
+
+
+def bench_msm():
+    from halo2_zkcert_tpu.ops import limbs, msm_fb
+    from halo2_zkcert_tpu.plonk import gen_srs
+    params = gen_srs(17)
     fb = params.fixed_base(lagrange=True)
-    cols = jnp.asarray(rng.integers(0, 256, size=(2, n, NL), dtype=np.int32))
+    rng = np.random.default_rng(1)
+    col = jnp.asarray(rng.integers(0, 256, size=(1, 1 << 17, limbs.NLIMBS),
+                                   dtype=np.int32))
+    col2 = jnp.asarray(rng.integers(0, 256, size=(2, 1 << 17, limbs.NLIMBS),
+                                    dtype=np.int32))
+    dt = t(fb.msm_many, col, fetch=lambda r: np.asarray(r[0, 0, :1]))
+    print(f"fb msm 1 col 2^17: {dt*1000:.1f} ms", flush=True)
+    dt = t(fb.msm_many, col2, fetch=lambda r: np.asarray(r[0, 0, :1]))
+    print(f"fb msm 2 cols 2^17: {dt*1000:.1f} ms", flush=True)
 
-    G = 2
-    d2 = msm_fb._digits(cols.reshape(G * n, NL), fb.wbits)
-    timed("digits (2 cols)", lambda c: msm_fb._digits(c, fb.wbits),
-          cols.reshape(G * n, NL))
-    dd = d2.reshape(G, n, fb.nwin).transpose(0, 2, 1).reshape(G, -1)
-    sync(dd)
+    # substages for one group of 2
+    wbits = fb.wbits
+    grp = col2
+    d_fn = jax.jit(lambda g: msm_fb._digits(
+        g.reshape(2 * fb.n, limbs.NL), wbits).reshape(
+            2, fb.n, fb.nwin).transpose(0, 2, 1).reshape(2, -1))
+    dt = t(d_fn, grp)
+    print(f"  digits: {dt*1000:.1f} ms", flush=True)
+    d = d_fn(grp)
+    rows = fb._rows_full()
 
-    total = dd.shape[1]
+    dt = t(lambda dd: msm_fb._buckets_cols(fb.table_flat, dd, rows, wbits),
+           d, fetch=lambda r: np.asarray(r[0][0, 0, :1]))
+    print(f"  buckets(sort+gather+scan+extract): {dt*1000:.1f} ms",
+          flush=True)
+    buckets = msm_fb._buckets_cols(fb.table_flat, d, rows, wbits)
+    dt = t(lambda b: msm_fb._combine_buckets_cols(b, wbits), buckets,
+           fetch=lambda r: np.asarray(r[0, 0, :1]))
+    print(f"  combine: {dt*1000:.1f} ms", flush=True)
+
+    # sort alone
+    G, total = d.shape
     Bc = max(total // msm_fb.CHUNK, 1)
     chunk = total // Bc
-    dflat = dd.reshape(G * Bc, chunk)
+    srt = jax.jit(lambda dd: jnp.argsort(dd.reshape(G * Bc, chunk), axis=1))
+    dt = t(srt, d)
+    print(f"  argsort {G*Bc}x{chunk}: {dt*1000:.1f} ms", flush=True)
+    order = srt(d)
+    rows_b = jnp.broadcast_to(rows, (G, total)).reshape(G * Bc, chunk)
+    gat = jax.jit(lambda o: fb.table_flat[
+        jnp.take_along_axis(rows_b, o, axis=1)].astype(jnp.int32))
+    dt = t(gat, order)
+    print(f"  gather points: {dt*1000:.1f} ms", flush=True)
 
-    timed("argsort (G*Bc, chunk)", jax.jit(lambda d: jnp.argsort(d, axis=1)),
-          dflat)
-    order = jnp.argsort(dflat, axis=1)
-    sync(order)
-
-    rows1 = jnp.arange(total, dtype=jnp.int32).reshape(Bc, chunk)
-    rows = jnp.tile(rows1, (G, 1))
-    idx = jnp.take_along_axis(rows, order, axis=1)
-    sync(idx)
-
-    def gather(tf, ix):
-        return tf[ix].astype(jnp.int32)
-
-    timed("table gather", jax.jit(gather), fb.table_flat, idx)
-    pts = jax.jit(gather)(fb.table_flat, idx)
-    sync(pts)
-
-    from halo2_zkcert_tpu.ops import curve, scan as scanmod
-
-    def scan_only(pts):
-        x, y = pts[..., 0, :], pts[..., 1, :]
-        one = jnp.zeros_like(x).at[..., 0].set(1)
-        local, off, C = scanmod.prefix_scan_batched_local(
-            curve.add, lambda: curve.identity((1,)), (x, y, one),
-            combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
-        return local[0]
-
-    timed("prefix scan (mixed adds)", jax.jit(scan_only), pts)
-
-    timed("full buckets program", lambda t, d: msm_fb._buckets_cols(
-        t, d, fb.wbits), fb.table_flat, dd)
-    buckets = msm_fb._buckets_cols(fb.table_flat, dd, fb.wbits)
-    sync(buckets)
-    timed("combine buckets", lambda b: msm_fb._combine_buckets_cols(
-        b, fb.wbits), buckets)
-    timed("msm_many end-to-end (2 cols)", fb.msm_many, cols)
-
-
-def bench_fieldops(k=19):
-    n = 1 << k
-    rng = np.random.default_rng(1)
-    a = jnp.asarray(rng.integers(0, 256, size=(n, NL), dtype=np.int32))
-    b = jnp.asarray(rng.integers(0, 256, size=(n, NL), dtype=np.int32))
-    from halo2_zkcert_tpu.ops import pallas_limbs as pl_
-    print(f"field ops (batch 2^{k}):")
-    timed("fused_mul", lambda x, y: pl_.fused_mul(x, y, limbs_mod()), a, b)
-    timed("fused_add", lambda x, y: pl_.fused_add(x, y, limbs_mod()), a, b)
-    from halo2_zkcert_tpu.ops import curve
-    P = (a, b, jnp.zeros_like(a).at[..., 0].set(1))
-    timed("fused point add (proj)", lambda p: curve.add(p, p), P)
-    timed("fused point add (mixed)", lambda p: curve.add_mixed(p, (p[0], p[1])), P)
-
-
-def limbs_mod():
-    from halo2_zkcert_tpu.ops.field import FQ
-    return FQ.modulus
+    # bounded-column commit (V-style 16-bit)
+    dt = t(lambda c: fb.msm_many_bounded(c, 16, (1 << 17) - 30), col,
+           fetch=lambda r: np.asarray(r[0, 0, :1]))
+    print(f"fb msm bounded(16b) 1 col: {dt*1000:.1f} ms", flush=True)
 
 
 def bench_ntt():
+    from halo2_zkcert_tpu.ops import limbs, ntt, ntt_mxu
     rng = np.random.default_rng(2)
-    for k, cols in ((17, 8), (19, 8)):
-        n = 1 << k
-        a = jnp.asarray(rng.integers(0, 256, size=(n, cols, NL),
+    for k, m in ((17, 8), (19, 8)):
+        a = jnp.asarray(rng.integers(0, 256, size=(1 << k, m, limbs.NLIMBS),
                                      dtype=np.int32))
-        print(f"NTT (2^{k} x {cols} cols):")
-        timed("ntt", lambda x: ntt.ntt(x, k), a)
-        timed("intt", lambda x: ntt.intt(x, k), a)
+        dt = t(lambda x: ntt_mxu.ntt(x, k), a)
+        print(f"ntt_mxu 2^{k} x{m}: {dt*1000:.1f} ms", flush=True)
+        dt = t(lambda x: ntt.ntt(x, k), a)   # routes via _mxu_wanted
+        print(f"ntt(dispatch) 2^{k} x{m}: {dt*1000:.1f} ms", flush=True)
+        f = jax.jit(lambda x: ntt._ntt_impl(
+            x, *ntt._device_tables(k, False), k, False))
+        dt = t(f, a)
+        print(f"ntt radix2(jit) 2^{k} x{m}: {dt*1000:.1f} ms", flush=True)
 
 
-def bench_scan(k=17):
-    n = 1 << k
+def bench_gp():
+    """Grand-product build: per-column vs batched (miscompile probe)."""
+    from halo2_zkcert_tpu.ops import frops, limbs
+    NL = limbs.NLIMBS
     rng = np.random.default_rng(3)
-    a = jnp.asarray(rng.integers(0, 256, size=(n, NL), dtype=np.int32))
-    from halo2_zkcert_tpu.ops import frops
-    print(f"Fr scans (2^{k}):")
-    timed("prefix_product", frops.prefix_product, a)
-    timed("batch_inv", frops.batch_inv, a)
-    m = jnp.asarray(rng.integers(0, 256, size=(n, NL), dtype=np.int32))
-    timed("affine_scan", frops.affine_scan, m, a)
+    n, m = 1 << 17, 3
+    nums = jnp.asarray(rng.integers(0, 255, size=(m, n, NL), dtype=np.int32))
+    dens = jnp.asarray(rng.integers(1, 255, size=(m, n, NL), dtype=np.int32))
 
+    def percol(nums, dens):
+        one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
+        outs = []
+        for i in range(m):
+            ratio = frops.mul(nums[i], frops.batch_inv(dens[i]))
+            sh = jnp.concatenate([one_row, ratio[:-1]], axis=0)
+            outs.append(frops.prefix_product(sh))
+        return jnp.stack(outs)
 
-def bench_sort(k=17):
-    n = 1 << k
-    rng = np.random.default_rng(4)
-    from halo2_zkcert_tpu.ops import frops
-    a = jnp.asarray(rng.integers(0, 256, size=(n, NL), dtype=np.int32))
-    s = jnp.asarray(rng.integers(0, 2, size=(n, NL), dtype=np.int32))
-    print(f"lookup permute (2^{k}):")
-    usable = n - 10
-    timed("lookup_permute_device",
-          lambda x, y: frops.lookup_permute_device(x, y, usable)[0], a, a)
+    def batched(nums, dens):
+        den_inv = frops.batch_inv(dens.reshape(m * n, NL)).reshape(m, n, NL)
+        ratios = frops.mul(nums, den_inv)
+        ones = jnp.zeros((m, 1, NL), jnp.int32).at[:, 0, 0].set(1)
+        shifted = jnp.concatenate([ones, ratios[:, :-1]], axis=1)
+        return frops.prefix_product_batched(shifted)
 
-
-def bench_mxu():
-    """Raw MXU throughput: s8xs8->s32 and bf16->f32 matmuls at the
-    ntt_mxu.py operand shapes — validates the int8 MXU lowering."""
-    rng = np.random.default_rng(0)
-    for dt, pe, label in ((jnp.int8, jnp.int32, "s8xs8->s32"),
-                          (jnp.bfloat16, jnp.float32, "bf16->f32 ")):
-        m, k, n = 8448, 4352, 8192
-        a = jnp.asarray(rng.integers(-100, 100, size=(m, k)), dtype=dt)
-        b = jnp.asarray(rng.integers(-100, 100, size=(k, n)), dtype=dt)
-
-        @jax.jit
-        def mm(a, b):
-            return jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())), preferred_element_type=pe)
-
-        t = timed(f"matmul {label} ({m}x{k}x{n})", mm, a, b)
-        print(f"  {'':42s} {2*m*k*n/t/1e12:9.2f} Tops/s")
-
-
-def bench_ntt_mxu():
-    from halo2_zkcert_tpu.ops import ntt_mxu
-    rng = np.random.default_rng(2)
-    for k, cols in ((17, 8), (19, 8)):
-        n = 1 << k
-        a = jnp.asarray(rng.integers(0, 256, size=(n, cols, NL),
-                                     dtype=np.int32))
-        print(f"MXU NTT (2^{k} x {cols} cols):")
-        timed("ntt_mxu", lambda x: ntt_mxu.ntt(x, k), a)
-        timed("intt_mxu", lambda x: ntt_mxu.intt(x, k), a)
+    dt = t(percol, nums, dens, fetch=lambda r: np.asarray(r[0, :1]))
+    print(f"grand-products per-col (m=3, 2^17): {dt*1000:.1f} ms", flush=True)
+    dt = t(batched, nums, dens, fetch=lambda r: np.asarray(r[0, :1]))
+    print(f"grand-products batched (m=3, 2^17): {dt*1000:.1f} ms", flush=True)
+    # correctness cross-check (the round-2 miscompile detector)
+    a = np.asarray(percol(nums, dens))
+    b = np.asarray(batched(nums, dens))
+    from halo2_zkcert_tpu.utils import refcrypto as rc
+    bad = 0
+    for i in range(m):
+        for r in range(0, n, 7919):
+            va = limbs.limbs_to_int(a[i, r]) % rc.FR
+            vb = limbs.limbs_to_int(b[i, r]) % rc.FR
+            if va != vb:
+                bad += 1
+    print(f"batched-vs-percol mismatches (sampled): {bad}", flush=True)
 
 
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("all", "mxu"):
-        bench_mxu()
-    if which in ("all", "ntt_mxu"):
-        bench_ntt_mxu()
-    if which in ("all", "field"):
-        bench_fieldops()
-    if which in ("all", "msm"):
-        bench_msm()
-    if which in ("all", "ntt"):
-        bench_ntt()
-    if which in ("all", "scan"):
-        bench_scan()
-    if which in ("all", "sort"):
-        bench_sort()
+    which = sys.argv[1:] or ["rtt", "scan", "msm", "ntt", "gp"]
+    for name in which:
+        print(f"--- {name} ---", flush=True)
+        globals()[f"bench_{name}"]()
