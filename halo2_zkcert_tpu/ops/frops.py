@@ -34,10 +34,20 @@ def _mul1(a, b):
     return (limbs.mul(FR, a[0], b[0]),)
 
 
+# KS threshold for FIELD-element scans: a field mul is cheap (~1k MACs),
+# so the scan is dispatch-latency-bound and the log-depth Kogge-Stone
+# sweep (log2 n wide steps) beats the grid scan's ~C sequential narrow
+# steps well past the generic default.  2^18 covers every prover-size
+# field scan at k<=17 (GP columns, batch_inv, shplonk zinv).
+import os as _os
+_FIELD_KS_MAX = int(_os.environ.get("H2T_FIELD_KS_MAX", 1 << 18))
+
+
 def _scan_mul(a):
-    """Grid prefix scan under field mul (see ops/scan.py: associative_scan
-    is a compile/HBM trap for expensive monoids)."""
-    return scanmod.prefix_scan(_mul1, _one1, (a,))[0]
+    """Prefix scan under field mul (KS sweep at prover sizes; see
+    ops/scan.py — associative_scan is a compile/HBM trap, and the grid
+    scan's sequential depth is latency-bound for cheap monoids)."""
+    return scanmod.prefix_scan(_mul1, _one1, (a,), ks_max=_FIELD_KS_MAX)[0]
 
 NL = limbs.NLIMBS
 
@@ -57,7 +67,8 @@ def prefix_product_batched(a: jnp.ndarray) -> jnp.ndarray:
     """(m, n, NL) -> independent inclusive prefix products along axis 1,
     all in ONE scan program (the per-step combine widens m-fold; the
     sequential step count does not grow)."""
-    return scanmod.prefix_scan_batched(_mul1, _one1, (a,))[0]
+    return scanmod.prefix_scan_batched(_mul1, _one1, (a,),
+                                       ks_max=_FIELD_KS_MAX)[0]
 
 
 @jax.jit
@@ -78,7 +89,8 @@ def affine_scan(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
         return (one, jnp.zeros((1, NL), jnp.int32))
 
-    _, a_vals = scanmod.prefix_scan(combine, ident1, (m, b))
+    _, a_vals = scanmod.prefix_scan(combine, ident1, (m, b),
+                                    ks_max=_FIELD_KS_MAX)
     return a_vals
 
 
@@ -104,7 +116,8 @@ def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
     else:
         a_p = a
     prefix = _scan_mul(a_p)
-    suffix = scanmod.suffix_scan(_mul1, _one1, (a_p,))[0]
+    suffix = scanmod.suffix_scan(_mul1, _one1, (a_p,),
+                                 ks_max=_FIELD_KS_MAX)[0]
     total_inv = limbs.inv(FR, prefix[-1])
     one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
     pre = jnp.concatenate([one, prefix[:-1]], axis=0)
@@ -206,7 +219,8 @@ def poly_divide_linear(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     pw = powers(z, n)                       # z^0 .. z^(n-1)
     s = _mul(coeffs, pw)                    # a_j z^j
     suffix = scanmod.suffix_scan(
-        lambda x, y: (_mul_free_add(x[0], y[0]),), _zero1, (s,))[0]
+        lambda x, y: (_mul_free_add(x[0], y[0]),), _zero1, (s,),
+        ks_max=_FIELD_KS_MAX)[0]
     # suffix[i] = sum_{j >= i} a_j z^j (lazy limbs; reduce now)
     suffix = limbs.partial_reduce(FR, suffix, rounds=3)
     tail = jnp.concatenate([suffix[1:], jnp.zeros((1, NL), jnp.int32)], axis=0)

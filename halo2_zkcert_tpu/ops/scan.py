@@ -59,7 +59,8 @@ def _ks_scan(combine, identity1, xs: tuple, axis: int = 0) -> tuple:
     return xs
 
 
-def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
+def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED,
+                ks_max: int | None = None) -> tuple:
     """Inclusive prefix scan of the monoid `combine` over leading axis.
 
     combine: tuple -> tuple -> tuple (elementwise-batched monoid op);
@@ -68,9 +69,15 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
     monoids are supported (operands are always ordered earlier-first).
     Trace-friendly: safe to call inside jit; eager calls compile a couple
     of small fori programs per distinct shape.
+
+    ks_max: size threshold below which the log-depth Kogge-Stone sweep is
+    used instead of the grid scan.  The KS sweep does n*log2(n) combines
+    in log2(n) WIDE steps — for CHEAP monoids (field mul) the scan is
+    dispatch-latency-bound, so KS wins well past the default; expensive
+    monoids (curve adds) keep the ~2n-work grid.  Callers pick per monoid.
     """
     n = xs[0].shape[0]
-    if n <= _KS_MAX:
+    if n <= (ks_max if ks_max is not None else _KS_MAX):
         return _ks_scan(combine, identity1, xs, axis=0)
     if n & (n - 1):
         # The grid formulation returned WRONG prefixes on TPU for
@@ -83,7 +90,7 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
         xs = tuple(jnp.concatenate(
             [c, jnp.broadcast_to(i, (n2 - n,) + c.shape[1:])], axis=0)
             for c, i in zip(xs, ident))
-        out = prefix_scan(combine, identity1, xs, base)
+        out = prefix_scan(combine, identity1, xs, base, ks_max=ks_max)
         return tuple(c[:n] for c in out)
     C = _C if n // _C >= base else max(2, n // base)
     assert n % C == 0, n
@@ -112,10 +119,12 @@ def prefix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
     return tuple(c.reshape((n,) + c.shape[2:]) for c in out)
 
 
-def suffix_scan(combine, identity1, xs: tuple, base: int = _ROLLED) -> tuple:
+def suffix_scan(combine, identity1, xs: tuple, base: int = _ROLLED,
+                ks_max: int | None = None) -> tuple:
     """Inclusive reverse (suffix) scan via reversal."""
     rev = tuple(c[::-1] for c in xs)
-    return tuple(c[::-1] for c in prefix_scan(combine, identity1, rev, base))
+    return tuple(c[::-1] for c in prefix_scan(combine, identity1, rev, base,
+                                              ks_max=ks_max))
 
 
 def prefix_scan_batched_local(combine, identity1, xs: tuple,
@@ -171,13 +180,14 @@ def prefix_scan_batched_local(combine, identity1, xs: tuple,
 
 
 def prefix_scan_batched(combine, identity1, xs: tuple,
-                        base: int = _ROLLED) -> tuple:
+                        base: int = _ROLLED,
+                        ks_max: int | None = None) -> tuple:
     """Batched inclusive prefix scan: xs tuple of (B, n, ...) arrays,
     scanned independently along axis 1 in ONE program — B sequential
     chunk scans collapse into one (the per-step combine width grows B-fold,
     the sequential step count does not)."""
     B, n = xs[0].shape[0], xs[0].shape[1]
-    if n <= _KS_MAX:
+    if n <= (ks_max if ks_max is not None else _KS_MAX):
         return _ks_scan(combine, identity1, xs, axis=1)
     if n & (n - 1):
         # same power-of-two guard as prefix_scan (TPU grid-scan miscompile)
@@ -186,7 +196,8 @@ def prefix_scan_batched(combine, identity1, xs: tuple,
         xs = tuple(jnp.concatenate(
             [c, jnp.broadcast_to(i[None], (B, n2 - n) + c.shape[2:])],
             axis=1) for c, i in zip(xs, ident))
-        out = prefix_scan_batched(combine, identity1, xs, base)
+        out = prefix_scan_batched(combine, identity1, xs, base,
+                                  ks_max=ks_max)
         return tuple(c[:, :n] for c in out)
     C = _C if n // _C >= base else max(2, n // base)
     assert n % C == 0, n

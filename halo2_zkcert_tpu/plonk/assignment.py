@@ -153,3 +153,25 @@ class BlindingRng:
 
     def fill(self, count: int) -> list:
         return [self.next_fr() for _ in range(count)]
+
+    def fill_limbs(self, count: int) -> np.ndarray:
+        """Bulk blinding draw as RESIDENT limb rows: (count, NLIMBS) int32.
+
+        The per-row blake2b stream (`fill`) costs ~0.6 s of host Python at
+        n=2^17 — on the prover's critical path for the vanishing random
+        poly.  Bulk draws instead expand ONE blake2b-derived key through a
+        counter-based Philox stream (numpy-specified, platform/version
+        deterministic) into 256-bit values; a 256-bit value is already in
+        the resident limb class (< 2^259) and uniform mod r up to a
+        ~2^-127 bias, so no reduction pass is needed.  Advances `ctr` so
+        interleaved scalar draws stay distinct."""
+        from ..ops import limbs as limb_ops
+        d = rc.blake2b(self.seed + b"|bulk|" + self.ctr.to_bytes(8, "little"),
+                       16)
+        self.ctr += count
+        key = np.frombuffer(d, dtype="<u8")   # 2 x u64 Philox key
+        gen = np.random.Generator(np.random.Philox(key=key))
+        raw = gen.integers(0, 256, size=(count, 32), dtype=np.uint8)
+        out = np.zeros((count, limb_ops.NLIMBS), dtype=np.int32)
+        out[:, :32] = raw
+        return out

@@ -426,6 +426,17 @@ def _mesh_active() -> bool:
     return mesh is not None and mesh.size > 1
 
 
+def _commit_timer(tag, m, fn):
+    if not os.environ.get("H2T_PROFILE2"):
+        return fn()
+    import time as _time
+    t0 = _time.perf_counter()
+    out = fn()
+    print(f"    [commit] {tag} x{m}: {_time.perf_counter() - t0:.3f}s",
+          flush=True)
+    return out
+
+
 def commit_many_lagrange(params: ParamsKZG, cols, value_bits=None,
                          blind_lo=None) -> list:
     """Batch-commit Lagrange columns (reference: per-column commit loop
@@ -434,10 +445,15 @@ def commit_many_lagrange(params: ParamsKZG, cols, value_bits=None,
     value_bits/blind_lo: optional bound hint — rows < blind_lo are
     < 2^value_bits, so the fixed-base path only does
     ceil(value_bits/wbits) windows of bucket work per row."""
+    m = cols.shape[0] if isinstance(cols, jnp.ndarray) else len(cols)
     if _fb_wanted(params.n) and not _mesh_active():
-        return _fb_commit(params.fixed_base(lagrange=True), cols,
-                          value_bits, blind_lo)
-    return _commit_batch(jnp.asarray(params.g_lagrange), cols)
+        return _commit_timer(
+            f"lag fb vb={value_bits}", m,
+            lambda: _fb_commit(params.fixed_base(lagrange=True), cols,
+                               value_bits, blind_lo))
+    return _commit_timer(
+        "lag vb", m,
+        lambda: _commit_batch(jnp.asarray(params.g_lagrange), cols))
 
 
 def commit_many(params: ParamsKZG, polys) -> list:
@@ -449,6 +465,11 @@ def commit_many(params: ParamsKZG, polys) -> list:
     if polys.shape[0] == 0:
         return []
     deg = polys.shape[1]
+    m = polys.shape[0]
     if deg == params.n and _fb_wanted(params.n) and not _mesh_active():
-        return _fb_commit(params.fixed_base(lagrange=False), polys)
-    return _commit_batch(jnp.asarray(params.g[:deg]), polys)
+        return _commit_timer(
+            "mono fb", m,
+            lambda: _fb_commit(params.fixed_base(lagrange=False), polys))
+    return _commit_timer(
+        "mono vb", m,
+        lambda: _commit_batch(jnp.asarray(params.g[:deg]), polys))

@@ -232,27 +232,21 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         dens.append(frops.mul(frops.add(lkd["a_perm"], beta_l),
                               frops.add(lkd["s_perm"], gamma_l)))
 
+    # Per-column inversion + scan.  The round-2 "batched" variant (one
+    # shared inversion + one batched scan) is GONE: its wrong-Z defect was
+    # the grid scan miscompiling on the non-power-of-two 3*2^17 batch_inv
+    # concat (docs/DEBUG_R3_VERIFY_REGRESSION.md) — now impossible at the
+    # primitive (ops/scan.py pads internally) — and with async dispatch
+    # pipelining the per-column ops, batched measured SLOWER anyway
+    # (137 ms vs 96 ms for m=3 at 2^17 on TPU, tools/microbench.py gp).
     m_gp = len(nums)
-    if _os.environ.get("H2T_GP_BATCHED") == "1":
-        # one shared inversion + one batched scan for every grand product —
-        # produced WRONG Z columns on TPU at k=17 (H2T_SELFCHECK=3 caught
-        # violated recurrences; docs/DEBUG_R3_VERIFY_REGRESSION.md).  Kept
-        # behind an env until the defect is isolated.
-        den_inv = frops.batch_inv(jnp.concatenate(dens, axis=0)) \
-            .reshape(m_gp, n, NL)
-        ratios = frops.mul(jnp.stack(nums), den_inv)
-        ones = jnp.zeros((m_gp, 1, NL), jnp.int32).at[:, 0, 0].set(1)
-        shifted = jnp.concatenate([ones, ratios[:, :-1]], axis=1)
-        units = frops.prefix_product_batched(shifted)   # (m_gp, n, NL)
-    else:
-        # per-column inversion + scan (round-1 semantics, TPU-proven)
-        one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
-        units_l = []
-        for i in range(m_gp):
-            ratio = frops.mul(nums[i], frops.batch_inv(dens[i]))
-            shifted1 = jnp.concatenate([one_row, ratio[:-1]], axis=0)
-            units_l.append(frops.prefix_product(shifted1))
-        units = jnp.stack(units_l)
+    one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
+    units_l = []
+    for i in range(m_gp):
+        ratio = frops.mul(nums[i], frops.batch_inv(dens[i]))
+        shifted1 = jnp.concatenate([one_row, ratio[:-1]], axis=0)
+        units_l.append(frops.prefix_product(shifted1))
+    units = jnp.stack(units_l)
 
     perm_zs = []
     start = _fr(1)                 # device scalar — chunk chaining, no fetch
@@ -307,7 +301,7 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     # -- 5: vanishing random poly — defined by its (uniform) VALUES over H
     # and committed through the Lagrange SRS in the same batch as the
     # grand-product columns (one device program fewer on the critical path)
-    random_vals = Fr.from_ints(rng.fill(n))
+    random_vals = jnp.asarray(rng.fill_limbs(n))
     z_batch.append(random_vals)
     for pt in commit_many_lagrange(params, z_batch):
         transcript.write_point(pt)
@@ -1061,6 +1055,19 @@ def _quotient_fn(pk: ProvingKey):
             qp = QuotientPallas(pk, dom, aux, fixed_ext, sigma_ext)
 
     def run(adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal):
+        import time as _time
+        _p2 = bool(_os.environ.get("H2T_PROFILE2"))
+        _t = [_time.perf_counter()]
+
+        def _tick2(stage, sync=None):
+            if _p2:
+                if sync is not None:
+                    np.asarray(sync[0, :1, :1] if sync.ndim == 3
+                               else sync[:1, :1])
+                now = _time.perf_counter()
+                print(f"    [quot] {stage}: {now - _t[0]:.3f}s", flush=True)
+                _t[0] = now
+
         def stack_or_zero(x, m=n):
             return x if x.shape[0] else jnp.zeros((0, m, NL), jnp.int32)
 
@@ -1068,7 +1075,9 @@ def _quotient_fn(pk: ProvingKey):
         lag_all = jnp.concatenate([adv_lag, inst_lag, permz_lag,
                                    lk_z, lk_a, lk_s], axis=0)
         coeff_all = _lag2coeff_batch(lag_all, dom.k)
+        _tick2(f"lag2coeff x{int(lag_all.shape[0])}", coeff_all)
         ext_all = _coeff2ext_batch(coeff_all, dom.extended_k, dom.G_COSET)
+        _tick2(f"coeff2ext x{int(coeff_all.shape[0])}", ext_all)
         na, ni = adv_lag.shape[0], inst_lag.shape[0]
         nz, nl_ = permz_lag.shape[0], lk_z.shape[0]
         o = 0
@@ -1086,6 +1095,7 @@ def _quotient_fn(pk: ProvingKey):
                                      lks_ext, chal, fixed_ext, sigma_ext,
                                      l0_ext_c, llast_ext_c, lblind_ext_c,
                                      ident_ext_c, zh_inv)
+        _tick2("pointwise", h_values)
         if _os.environ.get("H2T_SELFCHECK") in ("4", "5") \
                 and pk.__dict__.get("quotient_custom") is None:
             _oracle_quotient_window(
@@ -1096,10 +1106,14 @@ def _quotient_fn(pk: ProvingKey):
             from ..ops import ntt_mxu
             h_coeffs = ntt_mxu.coset_intt(h_values, dom.extended_k,
                                           dom.G_COSET)
-            return jnp.stack([h_coeffs[i * n:(i + 1) * n]
-                              for i in range(qd)])
-        return _ext2coeff_pieces(h_values, dom.extended_k,
-                                 dom.g_coset_inv, (qd, n))
+            out = jnp.stack([h_coeffs[i * n:(i + 1) * n]
+                             for i in range(qd)])
+            _tick2("h coset_intt", out)
+            return out
+        out = _ext2coeff_pieces(h_values, dom.extended_k,
+                                dom.g_coset_inv, (qd, n))
+        _tick2("h coset_intt", out)
+        return out
 
     pk.__dict__["_quotient_prog"] = run
     return run

@@ -1,11 +1,11 @@
 """Test configuration.
 
 Platform policy: tests run on the REAL TPU (axon) by default — its compile
-cache works and execution is fast.  The XLA:CPU persistent AOT cache is
-broken on this host (machine-feature mismatch -> LLVM OOM -> segfault on
-load), so when CPU is forced (HALO2_TESTS_ON_CPU=1, used for the virtual
-8-device mesh flows) the persistent cache stays DISABLED and everything
-recompiles.
+cache works and execution is fast.  When CPU is forced
+(HALO2_TESTS_ON_CPU=1, used for the virtual 8-device mesh flows) a
+separate CPU compile cache is used — the AOT loader's machine-feature
+warnings are benign on current jax (round-4 re-verification; the round-3
+segfault did not reproduce).
 """
 import os
 import sys
@@ -27,8 +27,13 @@ if ON_CPU:
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)  # kernels must not rely on x64
-if not ON_CPU:
-    # persistent compile cache (TPU-helper entries only; see docstring)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/h2t_jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# persistent compile cache, per-platform dirs.  The XLA:CPU AOT loader
+# warns about a machine-feature mismatch but loads and runs correctly on
+# current jax (re-verified round 4; the round-3 segfault did not
+# reproduce).  Separate dir so a CPU-cache regression can be cleared
+# without nuking the TPU cache.
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/h2t_jax_cache_cpu" if ON_CPU
+                  else "/tmp/h2t_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

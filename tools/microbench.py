@@ -35,7 +35,8 @@ def bench_rtt():
     g = jax.jit(lambda y: y * 2)
     print(f"17MB op+fetch: {t(g, y, reps=3)*1000:.1f} ms", flush=True)
     h = jax.jit(lambda y: (y * 2).sum())
-    print(f"17MB op, scalar fetch: {t(h, y, reps=3)*1000:.1f} ms", flush=True)
+    dt = t(h, y, reps=3, fetch=lambda r: np.asarray(r))
+    print(f"17MB op, scalar fetch: {dt*1000:.1f} ms", flush=True)
 
 
 def bench_scan():
@@ -78,9 +79,9 @@ def bench_msm():
     wbits = fb.wbits
     grp = col2
     d_fn = jax.jit(lambda g: msm_fb._digits(
-        g.reshape(2 * fb.n, limbs.NL), wbits).reshape(
+        g.reshape(2 * fb.n, limbs.NLIMBS), wbits).reshape(
             2, fb.n, fb.nwin).transpose(0, 2, 1).reshape(2, -1))
-    dt = t(d_fn, grp)
+    dt = t(d_fn, grp, fetch=lambda r: np.asarray(r[:, :1]))
     print(f"  digits: {dt*1000:.1f} ms", flush=True)
     d = d_fn(grp)
     rows = fb._rows_full()
@@ -99,14 +100,26 @@ def bench_msm():
     Bc = max(total // msm_fb.CHUNK, 1)
     chunk = total // Bc
     srt = jax.jit(lambda dd: jnp.argsort(dd.reshape(G * Bc, chunk), axis=1))
-    dt = t(srt, d)
+    dt = t(srt, d, fetch=lambda r: np.asarray(r[:, :1]))
     print(f"  argsort {G*Bc}x{chunk}: {dt*1000:.1f} ms", flush=True)
     order = srt(d)
     rows_b = jnp.broadcast_to(rows, (G, total)).reshape(G * Bc, chunk)
     gat = jax.jit(lambda o: fb.table_flat[
         jnp.take_along_axis(rows_b, o, axis=1)].astype(jnp.int32))
-    dt = t(gat, order)
+    dt = t(gat, order, fetch=lambda r: np.asarray(r[0, :1, 0, :1]))
     print(f"  gather points: {dt*1000:.1f} ms", flush=True)
+    pts_s = gat(order)
+    import functools
+    from halo2_zkcert_tpu.ops import scan as scanmod, curve
+    def scan_only(pts):
+        x, y = pts[..., 0, :], pts[..., 1, :]
+        one = jnp.zeros_like(x).at[..., 0].set(1)
+        local, off, C = scanmod.prefix_scan_batched_local(
+            curve.add, lambda: curve.identity((1,)), (x, y, one),
+            combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
+        return local[0]
+    dt = t(jax.jit(scan_only), pts_s, fetch=lambda r: np.asarray(r[0, :1, :1]))
+    print(f"  scan only: {dt*1000:.1f} ms", flush=True)
 
     # bounded-column commit (V-style 16-bit)
     dt = t(lambda c: fb.msm_many_bounded(c, 16, (1 << 17) - 30), col,
@@ -120,13 +133,14 @@ def bench_ntt():
     for k, m in ((17, 8), (19, 8)):
         a = jnp.asarray(rng.integers(0, 256, size=(1 << k, m, limbs.NLIMBS),
                                      dtype=np.int32))
-        dt = t(lambda x: ntt_mxu.ntt(x, k), a)
+        tf = lambda r: np.asarray(r[:1, :1, :1])
+        dt = t(lambda x: ntt_mxu.ntt(x, k), a, fetch=tf)
         print(f"ntt_mxu 2^{k} x{m}: {dt*1000:.1f} ms", flush=True)
-        dt = t(lambda x: ntt.ntt(x, k), a)   # routes via _mxu_wanted
+        dt = t(lambda x: ntt.ntt(x, k), a, fetch=tf)   # via _mxu_wanted
         print(f"ntt(dispatch) 2^{k} x{m}: {dt*1000:.1f} ms", flush=True)
         f = jax.jit(lambda x: ntt._ntt_impl(
             x, *ntt._device_tables(k, False), k, False))
-        dt = t(f, a)
+        dt = t(f, a, fetch=tf)
         print(f"ntt radix2(jit) 2^{k} x{m}: {dt*1000:.1f} ms", flush=True)
 
 
