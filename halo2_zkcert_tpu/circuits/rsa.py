@@ -76,9 +76,13 @@ class RsaCircuit:
     # advice columns
     COL_V = 0
     COL_A = 1
-    # fixed columns (creation order)
-    (F_T16, F_T8, F_QH, F_PASS, F_TAU, F_V, F_N, F_ONE,
-     F_QREL, F_QPACK, F_QCONST, F_CONST, F_QBYTE, F_NVAL) = range(14)
+    # fixed columns (creation order).  NOTE: no byte-range table — the EM
+    # hash-byte rows are copy-constrained to PUBLIC INSTANCE values
+    # (digest bytes the verifier supplies), so an in-circuit 8-bit range
+    # check would be redundant: the byte-ness of the claim's inputs is the
+    # caller's statement, validated host-side (`validate_instances`).
+    (F_T16, F_QH, F_PASS, F_TAU, F_V, F_N, F_ONE,
+     F_QREL, F_QPACK, F_QCONST, F_CONST, F_NVAL) = range(12)
 
     def __init__(self, modulus: int, k: int = 17):
         assert k >= 17, "16-bit range table requires k >= 17"
@@ -98,9 +102,9 @@ class RsaCircuit:
         a = cs.advice_column(phase=1)
         inst = cs.instance_column()
         tau = cs.challenge(phase=0)
-        fcols = [cs.fixed_column() for _ in range(14)]
-        (t16, t8, q_h, f_pass, f_tau, f_v, f_n, f_one,
-         q_rel, q_pack, q_const, f_const, q_byte, f_nval) = fcols
+        fcols = [cs.fixed_column() for _ in range(12)]
+        (t16, q_h, f_pass, f_tau, f_v, f_n, f_one,
+         q_rel, q_pack, q_const, f_const, f_nval) = fcols
 
         A0, Am1 = a, ex.Advice(1, -1, phase=1)
         horner = q_h * (a - f_pass * Am1 - f_tau * (Am1 * tau)
@@ -119,7 +123,6 @@ class RsaCircuit:
         cs.create_gate("pin_const", q_const * (v - f_const))
 
         cs.add_lookup("range16", [(v, t16)], max_bits=16)
-        cs.add_lookup("range8", [(q_byte * v, t8)], max_bits=16)
 
         cs.enable_permutation(Column(ADVICE, self.COL_V))
         cs.enable_permutation(Column(ADVICE, self.COL_A))
@@ -165,8 +168,6 @@ class RsaCircuit:
         F = self.__class__
         for r in range(1 << B):
             fixed[F.F_T16][r] = r
-        for r in range(1 << 8):
-            fixed[F.F_T8][r] = r
 
         def set_flags(r, **kw):
             m = dict(qh=F.F_QH, fpass=F.F_PASS, ftau=F.F_TAU, fv=F.F_V,
@@ -212,13 +213,11 @@ class RsaCircuit:
             else:  # hash limb: byte rows then limb row
                 bhi_idx, blo_idx = payload
                 set_flags(r, fpass=1)
-                fixed[F.F_QBYTE][r] = 1
                 self.em_rows["bytes"][bhi_idx] = r
                 self.copies.append(((ADVICE, self.COL_V, r),
                                     (INSTANCE, 0, bhi_idx)))
                 r += 1
                 set_flags(r, fpass=1)
-                fixed[F.F_QBYTE][r] = 1
                 self.em_rows["bytes"][blo_idx] = r
                 self.copies.append(((ADVICE, self.COL_V, r),
                                     (INSTANCE, 0, blo_idx)))
@@ -429,6 +428,20 @@ class RsaCircuit:
             return {self.COL_A: A}
 
         return witness_fn, instances
+
+    @staticmethod
+    def validate_instances(instances: list) -> None:
+        """Host-side byte validation of the public inputs.
+
+        The EM hash-byte rows are COPY-constrained to these instance
+        values; their byte range is part of the public claim, so a
+        verifier must reject instance vectors with entries >= 256 (the
+        in-circuit 8-bit lookup this replaces was redundant for honest
+        claims and cost a whole lookup argument per proof)."""
+        assert len(instances) == 1 and len(instances[0]) == 32, \
+            "RSA circuit expects one instance column of 32 digest bytes"
+        for v in instances[0]:
+            assert 0 <= int(v) < 256, f"instance byte out of range: {v}"
 
     def verify_host(self, signature: int, tbs: bytes) -> bool:
         """Host oracle shortcut (not the SNARK): sig^e mod n == EM."""

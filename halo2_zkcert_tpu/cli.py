@@ -137,6 +137,7 @@ def main(argv=None):
         tbs, sig = extract_tbs_and_sig(verify_cert)
         digest = hashlib.sha256(tbs).digest()
         witness_fn, instances = circuit.witness(sig, digest)
+        RsaCircuit.validate_instances(instances)   # byte-range is host-side
         sdk.gen_snark(params, pk, witness_fn, instances, args.proof_path)
         print(f"rsa snark written to {args.proof_path}")
         return

@@ -34,13 +34,15 @@ def _mul1(a, b):
     return (limbs.mul(FR, a[0], b[0]),)
 
 
-# KS threshold for FIELD-element scans: a field mul is cheap (~1k MACs),
-# so the scan is dispatch-latency-bound and the log-depth Kogge-Stone
-# sweep (log2 n wide steps) beats the grid scan's ~C sequential narrow
-# steps well past the generic default.  2^18 covers every prover-size
-# field scan at k<=17 (GP columns, batch_inv, shplonk zinv).
+# KS threshold for FIELD-element scans.  Hypothesis tested round 4: the
+# log-depth Kogge-Stone sweep should beat the grid scan's sequential
+# steps for cheap monoids — MEASURED OTHERWISE end-to-end at k=17 on the
+# v5e (KS default cost ~+2 s per proof: its n*log2(n) full-width
+# slice+concat traffic outweighs the saved dispatch latency).  Default
+# stays at the generic grid threshold; the knob remains for re-testing on
+# other topologies.
 import os as _os
-_FIELD_KS_MAX = int(_os.environ.get("H2T_FIELD_KS_MAX", 1 << 18))
+_FIELD_KS_MAX = int(_os.environ.get("H2T_FIELD_KS_MAX", 16384))
 
 
 def _scan_mul(a):

@@ -100,12 +100,18 @@ _mxu_env = _os.environ.get("H2T_NTT_MXU", "auto")
 
 
 def _mxu_wanted(a, k: int) -> bool:
-    """Route big eager transforms through the MXU four-step (ops/ntt_mxu).
+    """Whether to route eager transforms through the MXU four-step
+    (ops/ntt_mxu).  DEFAULT OFF since round 4: measured on the v5e, the
+    jitted radix-2 butterflies beat the four-step at prover sizes
+    (2^17 x 8 cols: 226 ms vs 341 ms; 2^19 x 8: 1042 ms vs 1307 ms —
+    tools/microbench.py ntt); the four-step's transposes and
+    carry-relaxation passes outweigh its MXU matmuls.  H2T_NTT_MXU=1
+    forces it on (bit-equality tests keep covering it).
 
-    Only outside jit traces: the MXU path passes its constant tables as
-    program arguments (they may not be baked into an enclosing HLO), so a
-    traced call falls back to the radix-2 butterflies."""
-    if _mxu_env == "0" or isinstance(a, jax.core.Tracer):
+    Only outside jit traces either way: the MXU path passes its constant
+    tables as program arguments (they may not be baked into an enclosing
+    HLO), so a traced call falls back to the radix-2 butterflies."""
+    if _mxu_env != "1" or isinstance(a, jax.core.Tracer):
         return False
     from ..parallel.context import active_mesh
     mesh, _ = active_mesh()
@@ -115,9 +121,7 @@ def _mxu_wanted(a, k: int) -> bool:
         # single-device combination no byte-identity test exercises
         # (ADVICE r3); the jitted radix-2 path shards under SPMD instead.
         return False
-    if _mxu_env == "1":
-        return True
-    return jax.default_backend() == "tpu" and k >= _MXU_MIN_K
+    return True
 
 
 def ntt(a: jnp.ndarray, k: int) -> jnp.ndarray:

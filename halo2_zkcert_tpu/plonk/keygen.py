@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..ops import frops, limbs
 from ..ops.field import Fr
 from ..utils import refcrypto as rc
-from .assignment import CircuitData, sigma_values
+from .assignment import CircuitData
 from .cs import ConstraintSystem
 from .domain import Domain
 from .kzg import ParamsKZG
@@ -78,13 +78,40 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
     from .kzg import commit_many_lagrange
     from .prover import _lag2coeff_batch
 
+    import os as _kos
+    import time as _ktime
+    _kprof = bool(_kos.environ.get("H2T_PROFILE"))
+    _kt = [_ktime.perf_counter()]
+
+    def _ktick(stage):
+        if _kprof:
+            now = _ktime.perf_counter()
+            print(f"  [keygen] {stage}: {now - _kt[0]:.3f}s", flush=True)
+            _kt[0] = now
+
     fixed_lag = data.fixed_limbs()
     num_fixed = fixed_lag.shape[0]
-    sig_vals = sigma_values(data)
-    m = sig_vals.shape[0]
-    sigma_lag_list = [Fr.from_ints(list(sig_vals[c])) for c in range(m)]
-    sigma_lag = jnp.stack(sigma_lag_list) if m else \
-        jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)
+    _ktick("fixed limbs")
+    # sigma columns ON DEVICE: sigma_c(r) = delta^{c'} * omega^{r'} is two
+    # power-table gathers + one mul — the host object-int version cost
+    # ~60 s of Python at k=17.  The host value table (pk.sigma_values) had
+    # no consumers (Z building reads sigma_lagrange) and is retired.
+    from .assignment import permutation_mapping
+    from .cs import DELTA
+    mapping = permutation_mapping(data)
+    m = mapping.shape[0]
+    _ktick("permutation mapping")
+    if m:
+        om = frops.powers(Fr.from_ints([dom.omega])[0], n)
+        delta_pows = Fr.from_ints([pow(DELTA, c, rc.FR) for c in range(m)])
+        rr = jnp.asarray(mapping[..., 1], jnp.int32)
+        cc = jnp.asarray(mapping[..., 0], jnp.int32)
+        sigma_lag = frops.mul(jnp.take(om, rr, axis=0),
+                              jnp.take(delta_pows, cc, axis=0))
+    else:
+        sigma_lag = jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)
+    sig_vals = np.zeros((0, 0), dtype=object)
+    _ktick("sigma columns")
 
     # one batched commit + one batched iNTT for all fixed+sigma columns
     all_lag = jnp.concatenate([fixed_lag, sigma_lag], axis=0)
@@ -92,10 +119,12 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
         else []
     fixed_commitments = commitments[:num_fixed]
     perm_commitments = commitments[num_fixed:]
+    _ktick("commits")
     if all_lag.shape[0]:
         all_coeff = _lag2coeff_batch(all_lag, data.k)
         fixed_coeff = all_coeff[:num_fixed]
         sigma_coeff = all_coeff[num_fixed:]
+        _ktick("lag2coeff")
     else:
         fixed_coeff = jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)
         sigma_coeff = jnp.zeros((0, n, limbs.NLIMBS), jnp.int32)

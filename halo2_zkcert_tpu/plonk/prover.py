@@ -142,10 +142,15 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     else:
         witness_fn = lambda phase, ch: (
             {i: witness[i] for i in range(csys.num_advice)} if phase == 0 else {})
+    _p2 = bool(_os.environ.get("H2T_PROFILE2"))
     advice_cols: list = [None] * csys.num_advice
     challenges: dict = {}
     for phase in range(csys.num_phases):
+        _tw = _time.perf_counter()
         phase_cols = witness_fn(phase, dict(challenges))
+        if _p2:
+            print(f"    [phase{phase}] witness_fn: "
+                  f"{_time.perf_counter() - _tw:.3f}s", flush=True)
         expected = [i for i in range(csys.num_advice)
                     if csys.advice_phases[i] == phase]
         assert sorted(phase_cols.keys()) == expected, \
@@ -684,15 +689,21 @@ def _chunk_cols(fn, cols, group=_NTT_GROUP):
         from jax.sharding import NamedSharding, PartitionSpec as P
         cols = jax.device_put(
             cols, NamedSharding(mesh, P(None, axis, None)))
+    # balanced groups: ceil-split so no program carries phantom zero
+    # columns (10 cols at group=8 used to run as 8+8-with-6-pad — 25%
+    # wasted NTT work at the extended domain; now 5+5).  Column counts are
+    # per-circuit constants, so the shapes stay stable across proofs.
+    n_prog = -(-m // group)
+    per = -(-m // n_prog)
     outs = []
-    for off in range(0, m, group):
-        c = cols[off:off + group]
-        pad = group - c.shape[0]
-        if pad and m > group:
+    for off in range(0, m, per):
+        c = cols[off:off + per]
+        pad = per - c.shape[0]
+        if pad:
             c = jnp.concatenate(
                 [c, jnp.zeros((pad,) + c.shape[1:], c.dtype)], axis=0)
         out = fn(c)
-        outs.append(out if pad == 0 or m <= group else out[:group - pad])
+        outs.append(out if pad == 0 else out[:per - pad])
         np.asarray(outs[-1][0, :1, :1])   # host fetch: bound in-flight mem
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 

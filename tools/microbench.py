@@ -192,3 +192,36 @@ if __name__ == "__main__":
     for name in which:
         print(f"--- {name} ---", flush=True)
         globals()[f"bench_{name}"]()
+
+
+def bench_gather():
+    """Point-table gather layouts: the bucket pipeline gathers 4.4M rows of
+    66 contiguous bytes (267 ms measured ~ 1 GB/s effective). Probe
+    whether row padding / dtype changes the gather's lowering."""
+    rng = np.random.default_rng(9)
+    T = 17 * (1 << 17)
+    n = 1 << 20                          # gathered rows per call
+    idx = jnp.asarray(rng.integers(0, T, size=(n,), dtype=np.int32))
+    tf = lambda r: np.asarray(r[:1, :1])
+    for tag, tbl in (
+        ("u8 (T,66)", jnp.asarray(rng.integers(0, 255, (T, 66), np.uint8),
+                                  dtype=jnp.uint8)),
+        ("u8 (T,128)pad", jnp.asarray(
+            rng.integers(0, 255, (T, 128), np.uint8), dtype=jnp.uint8)),
+        ("i32 (T,66)", jnp.asarray(rng.integers(0, 255, (T, 66), np.int32))),
+        ("i32 (T,72)pad", jnp.asarray(
+            rng.integers(0, 255, (T, 72), np.int32))),
+    ):
+        g1 = jax.jit(lambda t, i: t[i])
+        dt = t(g1, tbl, idx, fetch=tf)
+        print(f"gather {tag} [idx]: {dt*1000:.1f} ms "
+              f"({tbl[0].nbytes * n / dt / 1e9:.1f} GB/s)", flush=True)
+        g2 = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+        dt = t(g2, tbl, idx, fetch=tf)
+        print(f"gather {tag} take : {dt*1000:.1f} ms", flush=True)
+    # gather fused into a consumer (sum) — does fusion change lowering?
+    tbl = jnp.asarray(rng.integers(0, 255, (T, 66), np.uint8),
+                      dtype=jnp.uint8)
+    g3 = jax.jit(lambda t, i: t[i].astype(jnp.int32).sum(axis=0))
+    dt = t(g3, tbl, idx, fetch=lambda r: np.asarray(r[:1]))
+    print(f"gather u8(T,66) + consume: {dt*1000:.1f} ms", flush=True)

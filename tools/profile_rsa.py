@@ -47,8 +47,12 @@ def main():
     print(f"[setup] srs: {time.perf_counter() - t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    pk = gen_pk(params, circuit.data, "/tmp/h2t_profile_rsa_pk")
-    print(f"[setup] pk (cached): {time.perf_counter() - t0:.1f}s", flush=True)
+    import hashlib as _hl
+    tag = _hl.blake2b(circuit.data.cs.digest_bytes(),
+                      digest_size=6).hexdigest()
+    pk = gen_pk(params, circuit.data, f"/tmp/h2t_profile_rsa_pk_{tag}")
+    print(f"[setup] pk (cached {tag}): {time.perf_counter() - t0:.1f}s",
+          flush=True)
 
     tbs, sig = extract_tbs_and_sig(leaf)
     digest = hashlib.sha256(tbs).digest()

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--na", type=int, default=2)
     ap.add_argument("--skip-inner", action="store_true",
                     help="reuse ./build/*.proof from a previous run")
+    ap.add_argument("--only-inner", action="store_true",
+                    help="stop after the four inner snarks")
     ap.add_argument("--certs", default=os.path.join(REPO, "testdata"))
     args = ap.parse_args()
 
@@ -99,6 +101,12 @@ def main():
                           f"build/{stem}.proof")
             timings[stem] = round(time.time() - t0, 1)
             log(f"{stem}: done in {timings[stem]}s")
+
+    if args.only_inner:
+        with open("build/x509_inner_timings.json", "w") as f:
+            json.dump(timings, f, indent=1)
+        log(f"inner snarks done: {json.dumps(timings)}")
+        return
 
     from halo2_zkcert_tpu.circuits.aggregation import (InnerSnark,
                                                        verify_aggregated)
