@@ -423,19 +423,24 @@ class FixedBaseMsm:
         rows, total = self._small_layout(vw, blind_lo)
         padded = rows.shape[1]
         outs = []
-        for base in range(0, m, GROUP_SMALL):
-            g = min(GROUP_SMALL, m - base)
+        # balanced groups: a single bounded column used to be padded to a
+        # 4-wide program (3 phantom columns of scan work); group counts
+        # are per-circuit constants so the shapes stay stable
+        n_prog = -(-m // GROUP_SMALL)
+        per = -(-m // n_prog)
+        for base in range(0, m, per):
+            g = min(per, m - base)
             grp = cols[base:base + g]
-            if g < GROUP_SMALL:
+            if g < per:
                 grp = jnp.concatenate(
-                    [grp, jnp.zeros((GROUP_SMALL - g,) + grp.shape[1:],
+                    [grp, jnp.zeros((per - g,) + grp.shape[1:],
                                     grp.dtype)], axis=0)
-            d = _digits(grp.reshape(GROUP_SMALL * self.n, NL), self.wbits)
-            d = d.reshape(GROUP_SMALL, self.n, self.nwin)
+            d = _digits(grp.reshape(per * self.n, NL), self.wbits)
+            d = d.reshape(per, self.n, self.nwin)
             dmain = d[:, :, :vw].transpose(0, 2, 1) \
-                .reshape(GROUP_SMALL, vw * self.n)
+                .reshape(per, vw * self.n)
             dblind = d[:, blind_lo:, vw:].transpose(0, 2, 1) \
-                .reshape(GROUP_SMALL, -1)
+                .reshape(per, -1)
             dflat = jnp.concatenate([dmain, dblind], axis=1)
             dflat = jnp.pad(dflat, ((0, 0), (0, padded - total)))
             buckets = _buckets_cols(self.table_flat, dflat, rows, self.wbits)

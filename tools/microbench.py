@@ -187,11 +187,7 @@ def bench_gp():
     print(f"batched-vs-percol mismatches (sampled): {bad}", flush=True)
 
 
-if __name__ == "__main__":
-    which = sys.argv[1:] or ["rtt", "scan", "msm", "ntt", "gp"]
-    for name in which:
-        print(f"--- {name} ---", flush=True)
-        globals()[f"bench_{name}"]()
+
 
 
 def bench_gather():
@@ -225,3 +221,10 @@ def bench_gather():
     g3 = jax.jit(lambda t, i: t[i].astype(jnp.int32).sum(axis=0))
     dt = t(g3, tbl, idx, fetch=lambda r: np.asarray(r[:1]))
     print(f"gather u8(T,66) + consume: {dt*1000:.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["rtt", "scan", "msm", "ntt", "gp"]
+    for name in which:
+        print(f"--- {name} ---", flush=True)
+        globals()[f"bench_{name}"]()
