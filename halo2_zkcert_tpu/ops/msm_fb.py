@@ -148,6 +148,44 @@ def _chunk_buckets(table_flat, digits_flat, off, chunk: int, wbits: int):
     return _extract_buckets(prefix, dch[order], wbits)
 
 
+def _scan_local(pts_sorted):
+    """Level-1 local scan of sorted affine points: (R_, chunk, 2, NL) ->
+    (local, off, C) with the prefix_scan_batched_local contract.
+
+    On TPU the level-1 pass runs as ONE fused Pallas kernel
+    (pallas_limbs.fused_scan_madd): each row tile's C points sit in VMEM
+    and the running accumulator never round-trips HBM — vs ~C sequential
+    add dispatches with per-step slice glue.  Only the small row-totals
+    scan still uses the generic grid machinery."""
+    from . import scan as scanmod
+    from .curve import _pallas_wanted
+    from .field import FQ
+    R_, chunk = pts_sorted.shape[0], pts_sorted.shape[1]
+    from .pallas_limbs import SCAN_C
+    if not (_pallas_wanted() and chunk % SCAN_C == 0
+            and chunk // SCAN_C >= 2):
+        x, y = pts_sorted[..., 0, :], pts_sorted[..., 1, :]
+        one = jnp.zeros_like(x).at[..., 0].set(1)
+        return scanmod.prefix_scan_batched_local(
+            curve.add, lambda: curve.identity((1,)), (x, y, one),
+            combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
+    from . import pallas_limbs
+    C = SCAN_C
+    R = chunk // C
+    xa = pts_sorted[..., 0, :].reshape(R_ * R, C, NL)
+    ya = pts_sorted[..., 1, :].reshape(R_ * R, C, NL)
+    X, Y, Z = pallas_limbs.fused_scan_madd(xa, ya, FQ.modulus)
+    local = tuple(c.reshape(R_, chunk, NL) for c in (X, Y, Z))
+    totals = tuple(c.reshape(R_, R, C, NL)[:, :, -1] for c in local)
+    tot_scan = scanmod.prefix_scan_batched(
+        curve.add, lambda: curve.identity((1,)), totals)
+    ident_b = tuple(jnp.broadcast_to(c[None], (R_,) + c.shape)
+                    for c in curve.identity((1,)))
+    off = tuple(jnp.concatenate([i, t[:, :-1]], axis=1)
+                for i, t in zip(ident_b, tot_scan))
+    return local, off, C
+
+
 def _extract_buckets_batched(local, off, C, dsort, wbits: int):
     """Vectorized segment-boundary extraction + cross-chunk reduction.
 
@@ -214,14 +252,9 @@ def _buckets_all(table_flat, digits_flat, wbits: int):
     pts = table_flat[jnp.take_along_axis(rows, order, axis=1)] \
         .astype(jnp.int32)                               # (B, chunk, 2, NL)
     dsort = jnp.take_along_axis(d, order, axis=1)
-    # table points are never the identity (SRS powers of tau), so skip
-    # from_affine's is_zero scan (an exact-carry pass over all 2M points)
-    x, y = pts[..., 0, :], pts[..., 1, :]
-    one = jnp.zeros_like(x).at[..., 0].set(1)
-    P = (x, y, one)
-    local, off, C = scanmod.prefix_scan_batched_local(
-        curve.add, lambda: curve.identity((1,)), P,
-        combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
+    # table points are never the identity (SRS powers of tau), so
+    # from_affine's is_zero scan is skipped throughout (_scan_local)
+    local, off, C = _scan_local(pts)
     part = _extract_buckets_batched(local, off, C, dsort, wbits)
     return tuple(c[0] for c in _tree_reduce_chunks(part, 1, B))
 
@@ -273,11 +306,7 @@ def _buckets_cols(table_flat, digits_cols, rows_cols, wbits: int):
     pts = table_flat[jnp.take_along_axis(rows, order, axis=1)] \
         .astype(jnp.int32)
     dsort = jnp.take_along_axis(d, order, axis=1)
-    x, y = pts[..., 0, :], pts[..., 1, :]
-    one = jnp.zeros_like(x).at[..., 0].set(1)
-    local, off, C = scanmod.prefix_scan_batched_local(
-        curve.add, lambda: curve.identity((1,)), (x, y, one),
-        combine_first=lambda p, c: curve.add_mixed(p, (c[0], c[1])))
+    local, off, C = _scan_local(pts)
     part = _extract_buckets_batched(local, off, C, dsort, wbits)
     return _tree_reduce_chunks(part, G, Bc)              # (G, nb, NL) each
 

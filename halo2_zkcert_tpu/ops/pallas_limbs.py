@@ -466,3 +466,94 @@ def fused_point_double(P, modulus: int):
         interpret=_INTERPRET,
     )(*consts, *planes)
     return tuple(_from_planes(o)[:n] for o in out)
+
+
+# ---------------------------------------------------------------------------
+# Fused in-VMEM prefix scan under the mixed group law (MSM bucket scan)
+# ---------------------------------------------------------------------------
+#
+# The grid scan's level-1 pass (ops/scan.py) dispatches C-1 sequential
+# Pallas adds, each re-reading its operand columns from HBM.  This kernel
+# runs the WHOLE level-1 scan in one pallas_call: a row tile's C affine
+# points sit in VMEM, the running projective accumulator never leaves
+# vregs/VMEM, and the prefixes stream out once.  Work is identical
+# (C-1 mixed adds per row); the ~60 per-step dispatch+slice overheads and
+# the inter-step HBM round trips disappear.
+
+SCAN_C = 64                # elements scanned per row (matches scan._C)
+SCAN_LANES = 128           # row tile per grid step (VMEM budget ~7 MB)
+
+
+def _madd_ops(ops, X1, Y1, Z1, X2, Y2):
+    """RCB16 Alg-8 mixed add body on plane values; returns UNfinalized."""
+    mul, add, sub, small, fin = ops
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))                    # X1Y2 + X2Y1
+    t4 = add(mul(X2, Z1), X1)                    # X1Z2 + X2Z1
+    t5 = add(mul(Y2, Z1), Y1)                    # Y1Z2 + Y2Z1
+    t0 = small(t0, 3)
+    t2 = small(Z1, B3)                           # b3 Z1Z2
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = small(t4, B3)
+    X3o = sub(mul(t3, t1), mul(t5, Y3))
+    Y3o = add(mul(t1, Z3), mul(Y3, t0))
+    Z3o = add(mul(Z3, t5), mul(t0, t3))
+    return fin(X3o), fin(Y3o), fin(Z3o)
+
+
+def _scan_madd_kernel(fold_ref, mxu_ref, pad_ref, x_ref, y_ref,
+                      ox_ref, oy_ref, oz_ref):
+    """Inclusive prefix scan along axis 1 (C) of affine points under the
+    mixed add; blocks are (ROWS, C, SCAN_LANES) row tiles."""
+    ops = _mk_ops(fold_ref[:], mxu_ref[:], pad_ref[:])
+    ax = x_ref[:, 0, :]
+    ay = y_ref[:, 0, :]
+    # Z = 1 plane built from iota (no scatter in Mosaic lowering)
+    az = (jax.lax.broadcasted_iota(jnp.int32, ax.shape, 0) == 0) \
+        .astype(jnp.float32)
+    ox_ref[:, 0, :] = ax
+    oy_ref[:, 0, :] = ay
+    oz_ref[:, 0, :] = az
+
+    def body(j, acc):
+        nx, ny, nz = _madd_ops(ops, *acc, x_ref[:, j, :], y_ref[:, j, :])
+        ox_ref[:, j, :] = nx
+        oy_ref[:, j, :] = ny
+        oz_ref[:, j, :] = nz
+        return (nx, ny, nz)
+
+    jax.lax.fori_loop(1, x_ref.shape[1], body, (ax, ay, az),
+                      unroll=False)
+
+
+@partial(jax.jit, static_argnames=("modulus",))
+def fused_scan_madd(xa, ya, modulus: int):
+    """xa, ya: (Rtot, C, NL) int32 affine coords (table points, never the
+    identity), each length-C row scanned independently left-to-right.
+    Returns (X, Y, Z) local inclusive prefixes, same shape, resident."""
+    consts = _consts(modulus)
+    Rtot, C = xa.shape[0], xa.shape[1]
+
+    def planes(a):
+        x = a.astype(jnp.float32).transpose(2, 1, 0)      # (NL, C, Rtot)
+        return jnp.pad(x, ((0, ROWS - NL), (0, 0),
+                           (0, (-Rtot) % SCAN_LANES)))
+
+    xp, yp = planes(xa), planes(ya)
+    Rp = xp.shape[2]
+    grid = Rp // SCAN_LANES
+    spec = pl.BlockSpec((ROWS, C, SCAN_LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _scan_madd_kernel,
+        grid=(grid,),
+        in_specs=_const_specs() + [spec, spec],
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((ROWS, C, Rp), jnp.float32)] * 3,
+        interpret=_INTERPRET,
+    )(*consts, xp, yp)
+    return tuple(o[:NL, :, :Rtot].transpose(2, 1, 0).astype(jnp.int32)
+                 for o in out)
