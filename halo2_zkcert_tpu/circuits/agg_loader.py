@@ -25,10 +25,19 @@ TAPE_LIMBS_PER_HALF = LIMB_BITS // 16   # 8 tape limbs per 128-bit half
 
 
 class CircuitLoader:
-    """Implements the verify_core loader contract over (gb, tape, ecc)."""
+    """Implements the verify_core loader contract over (gb, tape, ecc).
+
+    universal=True: the inner vk enters as WITNESSES instead of baked
+    constants (reference `VerifierUniversality::Full`, lib.rs:47) — the
+    transcript repr and every fixed/sigma commitment are witnessed in
+    CANONICAL ORDER at construction and collected in `vk_binding_cells`;
+    the aggregation circuit hashes those cells and exposes the digest as a
+    public instance, so ONE aggregation pk serves any inner vk of the same
+    circuit shape (the outer verifier pins the digest to the expected
+    vks — aggregation.vk_binding_digest)."""
 
     def __init__(self, gb, tape, ecc: EccGadget, vk, instances: list,
-                 proof: bytes):
+                 proof: bytes, universal: bool = False):
         self.gb = gb
         self.tape = tape
         self.ecc = ecc
@@ -39,6 +48,19 @@ class CircuitLoader:
         self.sponge = PoseidonSpongeGadget(gb)
         self._inst_cells: dict = {}
         self._const_pts: dict = {}
+        self.universal = universal
+        self.vk_binding_cells: list = []
+        self._vk_repr_cell = None
+        self._vk_pts: dict = {}
+        if universal:
+            self._vk_repr_cell = gb.witness(vk.transcript_repr())
+            self.vk_binding_cells.append(self._vk_repr_cell)
+            for kind, comms in (("f", vk.fixed_commitments),
+                                ("s", vk.permutation_commitments)):
+                for i, xy in enumerate(comms):
+                    pt = self.ecc.witness_point(xy, check=True)
+                    self._vk_pts[(kind, i)] = pt
+                    self.vk_binding_cells.extend(self._packed_halves(pt))
 
     # ---- scalars (builder cells) ---------------------------------------------
 
@@ -59,6 +81,13 @@ class CircuitLoader:
         inv = gb.witness(rc.finv(a.value, rc.FR))
         gb.assert_const(gb.mul(a, inv), 1)
         return inv
+
+    def vk_repr_scalar(self, vk):
+        """vk transcript repr: witness cell under universality, else
+        constant (verify_core consults this hook when present)."""
+        if self.universal:
+            return self._vk_repr_cell
+        return self.s_const(vk.transcript_repr())
 
     def instance_scalar(self, col: int, row: int):
         key = (col, row)
@@ -81,18 +110,24 @@ class CircuitLoader:
         self.sponge.update([c])
         return c
 
-    def _absorb_point(self, pt: EcPoint) -> None:
-        """Absorb as [lo(x), hi(x), lo(y), hi(y)] 128-bit halves — exactly
-        the native PoseidonTranscript.common_point convention."""
+    def _packed_halves(self, pt: EcPoint) -> list:
+        """[lo(x), hi(x), lo(y), hi(y)] 128-bit half cells of a point."""
         gb, t = self.gb, self.tape
         H = TAPE_LIMBS_PER_HALF
+        out = []
         for coord in (pt.x, pt.y):
             cells = t.limb_cells(coord)
             for half in (cells[:H], cells[H:2 * H]):
                 acc = half[-1]
                 for c in reversed(half[:-1]):
                     acc = gb.mul_add(acc, gb.constant(1 << 16), c)
-                self.sponge.update([acc])
+                out.append(acc)
+        return out
+
+    def _absorb_point(self, pt: EcPoint) -> None:
+        """Absorb as [lo(x), hi(x), lo(y), hi(y)] 128-bit halves — exactly
+        the native PoseidonTranscript.common_point convention."""
+        self.sponge.update(self._packed_halves(pt))
 
     def t_read_point(self) -> EcPoint:
         raw = self.proof[self.pos:self.pos + 32]
@@ -112,14 +147,19 @@ class CircuitLoader:
             self._const_pts[xy] = self.ecc.constant_point(xy)
         return self._const_pts[xy]
 
+    def _vk_point(self, kind: str, i: int) -> EcPoint:
+        if self.universal:
+            return self._vk_pts[(kind, i)]
+        comms = self.vk.fixed_commitments if kind == "f" \
+            else self.vk.permutation_commitments
+        return self._const_point(comms[i])
+
     def _resolve(self, comm):
         """-> [(EcPoint, scalar_cell | None)]; None scalar = 1."""
         if isinstance(comm, tuple) and comm and comm[0] == "vk_fixed":
-            return [(self._const_point(self.vk.fixed_commitments[comm[1]]),
-                     None)]
+            return [(self._vk_point("f", comm[1]), None)]
         if isinstance(comm, tuple) and comm and comm[0] == "vk_sigma":
-            return [(self._const_point(
-                self.vk.permutation_commitments[comm[1]]), None)]
+            return [(self._vk_point("s", comm[1]), None)]
         if isinstance(comm, tuple) and comm and comm[0] == "h_collapsed":
             _, pts, xn = comm
             out = []

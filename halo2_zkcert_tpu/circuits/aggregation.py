@@ -78,22 +78,35 @@ class AggregationCircuit:
     reference lib.rs:60-66)."""
 
     def __init__(self, snarks: list, k: int, lanes: int = 4, na: int = 2,
-                 nl: int = 1, link=None):
+                 nl: int = 1, link=None, universal: bool = False):
         self.snarks = snarks
         self.link = link
+        self.universal = universal
         self._acc_value = None
 
         def program(gb, tape):
             ecc = EccGadget(tape)
             loaders, pairs = [], []
             for s in snarks:
-                ld = CircuitLoader(gb, tape, ecc, s.vk, s.instances, s.proof)
+                ld = CircuitLoader(gb, tape, ecc, s.vk, s.instances, s.proof,
+                                   universal=universal)
                 res = verify_core(ld, s.vk, [len(c) for c in s.instances])
                 loaders.append(ld)
                 pairs.append(res)
             if link is not None:
                 link(gb, loaders)
             self._acc_value = fold_and_expose(gb, tape, ecc, loaders, pairs)
+            if universal:
+                # bind every witnessed inner vk to the statement: ONE
+                # Poseidon digest over the canonical binding cells, public
+                # at instance row 8 (after the 8 accumulator limbs).  The
+                # outer verifier recomputes it from the expected vks
+                # (vk_binding_digest) — reference VerifierUniversality::
+                # Full semantics with an explicit exposed digest.
+                binder = PoseidonSpongeGadget(gb)
+                for ld in loaders:
+                    binder.update(ld.vk_binding_cells)
+                gb.expose_public(binder.squeeze())
 
         self.composed = ComposedCircuit(program, k, lanes=lanes, na=na, nl=nl)
         self.data = self.composed.data
@@ -106,6 +119,22 @@ class AggregationCircuit:
         return self.composed.rows_report()
 
 
+def vk_binding_digest(vks: list) -> int:
+    """Host mirror of the universal-mode vk digest: Poseidon over
+    [transcript_repr, packed 128-bit halves of every fixed then sigma
+    commitment] per vk, in snark order."""
+    from ..transcript.poseidon import PoseidonSponge
+    mask = (1 << 128) - 1
+    sponge = PoseidonSponge()
+    for vk in vks:
+        cells = [vk.transcript_repr()]
+        for (x, y) in vk.fixed_commitments + vk.permutation_commitments:
+            for coord in (x, y):
+                cells += [coord & mask, coord >> 128]
+        sponge.update(cells)
+    return sponge.squeeze()
+
+
 def decode_accumulator(instances: list):
     """8 instance values -> ((lhs_x, lhs_y), (rhs_x, rhs_y))."""
     vals = [int(v) for v in instances[0][:8]]
@@ -115,11 +144,20 @@ def decode_accumulator(instances: list):
     return (out[0], out[1]), (out[2], out[3])
 
 
-def verify_aggregated(params, vk, instances, proof, transcript_cls) -> bool:
-    """Outer PLONK verification + the deferred accumulator pairing."""
+def verify_aggregated(params, vk, instances, proof, transcript_cls,
+                      inner_vks: list | None = None) -> bool:
+    """Outer PLONK verification + the deferred accumulator pairing.
+
+    inner_vks: for UNIVERSAL aggregation circuits, the expected inner vks —
+    the exposed vk digest (instance row 8) must match them, otherwise the
+    proof only states "valid under SOME vks of this shape"."""
     from ..plonk import verify_proof
     if not verify_proof(params, vk, instances, proof, transcript_cls):
         return False
+    if inner_vks is not None:
+        if len(instances[0]) < 9 or \
+                int(instances[0][8]) != vk_binding_digest(inner_vks):
+            return False
     lhs, rhs = decode_accumulator(instances)
     if lhs == (0, 0) or rhs == (0, 0):
         return False

@@ -60,7 +60,13 @@ def verify_core(loader, vk: VerifyingKey, num_instance_rows: list):
             e >>= 1
         return acc if acc is not None else one
 
-    L.t_common_scalar(L.s_const(vk.transcript_repr()))
+    # vk transcript repr: loaders supporting vk-from-witness universality
+    # (agg_loader.CircuitLoader) expose it through a hook so the repr can
+    # be a witness cell (reference VerifierUniversality::Full, lib.rs:47)
+    if hasattr(L, "vk_repr_scalar"):
+        L.t_common_scalar(L.vk_repr_scalar(vk))
+    else:
+        L.t_common_scalar(L.s_const(vk.transcript_repr()))
     for col, rows in enumerate(num_instance_rows):
         for r in range(rows):
             L.t_common_scalar(L.instance_scalar(col, r))

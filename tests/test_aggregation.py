@@ -78,3 +78,56 @@ def test_aggregation_rejects_tampered_inner_proof(inner):
         (lhs, params.s_g2),
         (rc.g1_to_affine(rc.g1_neg(rc.g1_from_affine(rhs))), params.g2),
     ])
+
+
+def _toy_inner_snark_const(c: int, k: int = 6):
+    """Same SHAPE as _toy_inner_snark but with a fixed constant `c` mixed
+    in: x^3 + x + c == public.  Different c -> different vk (different
+    fixed commitment), identical circuit structure."""
+    gb = GateBuilder()
+    x = gb.witness(2)
+    x3 = gb.mul(gb.square(x), x)
+    out = gb.add(gb.add_const(x, c), x3)
+    gb.expose_public(out)
+    data, advice, instances = gb.finalize(
+        k, {"k": k, "num_advice": 1, "num_lookup_advice": 0,
+            "lookup_bits": 16})
+    params = setup(k)
+    pk = keygen(params, data)
+    proof = create_proof(params, pk, advice, instances, PoseidonTranscript())
+    assert verify_proof(params, pk.vk, instances, proof, PoseidonTranscript)
+    return InnerSnark(vk=pk.vk, instances=instances, proof=proof), params
+
+
+def test_universal_aggregation_one_key_two_vks():
+    """VerifierUniversality::Full parity (reference lib.rs:47): with
+    universal=True the inner vk is witnessed, so ONE aggregation circuit
+    shape (hence one agg pk) serves different inner vks of the same inner
+    circuit shape; the exposed vk digest distinguishes the statements."""
+    from halo2_zkcert_tpu.circuits.aggregation import vk_binding_digest
+
+    snark_a, params = _toy_inner_snark_const(5)
+    snark_b, _ = _toy_inner_snark_const(7)
+    assert snark_a.vk.digest_bytes() != snark_b.vk.digest_bytes()
+
+    agg_a = AggregationCircuit([snark_a], k=19, lanes=4, na=2, nl=1,
+                               universal=True)
+    agg_b = AggregationCircuit([snark_b], k=19, lanes=4, na=2, nl=1,
+                               universal=True)
+    # identical circuit shape -> identical keys (the whole point)
+    assert agg_a.composed._fp == agg_b.composed._fp
+
+    for agg, snark in ((agg_a, snark_a), (agg_b, snark_b)):
+        witness_fn, instances = agg.witness()
+        assert len(instances[0]) == 9
+        assert int(instances[0][8]) == vk_binding_digest([snark.vk])
+        # mock against agg_a's DATA for both (one pk serves both)
+        fails = run_mock(agg_a.data, witness_fn, instances,
+                         raise_on_failure=False)
+        assert fails == [], fails[:5]
+        (lhs, rhs) = decode_accumulator(instances)
+        assert rc.pairing_check([
+            (lhs, params.s_g2),
+            (rc.g1_to_affine(rc.g1_neg(rc.g1_from_affine(rhs))), params.g2),
+        ])
+    assert vk_binding_digest([snark_a.vk]) != vk_binding_digest([snark_b.vk])
