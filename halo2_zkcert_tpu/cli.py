@@ -17,6 +17,14 @@ import os
 import sys
 
 
+def _add_agg_shape(p):
+    """Aggregation packing shape (docs/AGGREGATION_DESIGN.md): k=21 with
+    8 tape lanes and 4 builder advice columns fits the 4-snark statement
+    (the reference uses k=22 with halo2-base packing, cli.rs:394)."""
+    p.add_argument("--lanes", type=int, default=8)
+    p.add_argument("--na", type=int, default=4)
+
+
 def _add_common(p, k_default: int):
     p.add_argument("--k", type=int, default=k_default)
     p.add_argument("--build-dir", default="./build")
@@ -77,6 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default=["./build/rsa_1.proof", "./build/sha256_1.proof",
                             "./build/rsa_2.proof", "./build/sha256_2.proof"])
     p.add_argument("--pk-path", default="./build/x509_agg.pk")
+    _add_agg_shape(p)
 
     p = sub.add_parser("gen-x509-agg-proof", help="aggregation proof (cli.rs:166)")
     _add_common(p, 22)
@@ -85,6 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "./build/rsa_2.proof", "./build/sha256_2.proof"])
     p.add_argument("--pk-path", default="./build/x509_agg.pk")
     p.add_argument("--proof-path", default="./build/x509_agg.proof")
+    _add_agg_shape(p)
 
     p = sub.add_parser("gen-x509-agg-evm-proof",
                        help="aggregation EVM proof + verifier (cli.rs:188)")
@@ -95,6 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pk-path", default="./build/x509_agg.pk")
     p.add_argument("--proof-path", default="./build/x509_agg_evm.proof")
     p.add_argument("--sol-path", default="./X509AggregationVerifierFinal.sol")
+    _add_agg_shape(p)
     return ap
 
 
@@ -181,7 +192,8 @@ def main(argv=None):
             snarks.append(InnerSnark(vk=s.vk, instances=s.instances,
                                      proof=s.proof))
         params = gen_srs(args.k, args.params_path)
-        circuit = X509VerifierAggregationCircuit(snarks, k=args.k)
+        circuit = X509VerifierAggregationCircuit(
+            snarks, k=args.k, lanes=args.lanes, na=args.na)
         rep = circuit.rows_report()
         print(f"agg circuit: tape rows {rep['tape_rows']}, "
               f"builder cells {rep['builder_cells']}, usable {rep['usable']}")

@@ -266,10 +266,15 @@ def _pallas_route(spec: FieldSpec, a, b, which: str):
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Modular add on resident values."""
+    """Modular add on resident values (u8-canonical storage upcasts here —
+    a u8+u8 sum would wrap at 256)."""
     out = _pallas_route(spec, a, b, "add")
     if out is not None:
         return out
+    if a.dtype != jnp.int32:
+        a = a.astype(jnp.int32)
+    if b.dtype != jnp.int32:
+        b = b.astype(jnp.int32)
     return partial_reduce(spec, a + b, rounds=3)
 
 

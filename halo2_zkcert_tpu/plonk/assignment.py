@@ -47,12 +47,15 @@ class CircuitData:
         return 1 << self.k
 
     def fixed_limbs(self) -> jnp.ndarray:
-        """(num_fixed, n, NLIMBS) device array of the fixed columns."""
+        """(num_fixed, n, NLIMBS) device array of the fixed columns —
+        canonical-u8 (values are reduced host-side, so limbs are bytes;
+        big circuits' 50+ fixed columns must not burn 4x HBM as int32).
+        Consumers upcast inside their programs."""
         cols = [limbs.ints_to_limbs([int(v) % rc.FR for v in col], limbs.NLIMBS)
                 for col in self.fixed]
         if not cols:
-            return jnp.zeros((0, self.n, limbs.NLIMBS), jnp.int32)
-        return jnp.asarray(np.stack(cols))
+            return jnp.zeros((0, self.n, limbs.NLIMBS), jnp.uint8)
+        return jnp.asarray(np.stack(cols).astype(np.uint8))
 
 
 def permutation_mapping(data: CircuitData) -> np.ndarray:

@@ -34,6 +34,10 @@ from .shplonk import ProverQuery, open_shplonk
 
 NL = limbs.NLIMBS
 
+# Per-stage wall times of the LAST create_proof call (seconds) — consumed
+# by bench.py's detail line (SURVEY §5 metrics: per-stage artifact).
+LAST_STAGE_TIMES: dict = {}
+
 
 def _to_int(arr) -> int:
     return int(limbs.limbs_to_int(np.asarray(arr)) % rc.FR)
@@ -112,13 +116,15 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     import time as _time
     _prof = bool(_os.environ.get("H2T_PROFILE"))
     _t0 = _time.perf_counter()
+    LAST_STAGE_TIMES.clear()
 
     def _tick(stage):
         nonlocal _t0
+        t = _time.perf_counter()
+        LAST_STAGE_TIMES[stage] = round(t - _t0, 3)
         if _prof:
-            t = _time.perf_counter()
             print(f"  [prove] {stage}: {t - _t0:.3f}s", flush=True)
-            _t0 = t
+        _t0 = t
 
     rng = rng or BlindingRng()
     vk = pk.vk
@@ -427,9 +433,19 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         xs_stack = jnp.stack([_fr(pt) for pt in points])
         scales = jnp.stack([_fr(dom.bary_scale(pt)) for pt in points])
         weights = frops.bary_weights(dom.omega_pows_device, xs_stack, scales)
-        vals_stack = jnp.stack([values[nm] for nm, _ in pairs])
-        widx = jnp.asarray([points.index(pt) for _, pt in pairs], jnp.int32)
-        res = np.asarray(frops.eval_lagrange_many(vals_stack, weights, widx))
+        # chunked: big circuits query 100+ columns; an unchunked
+        # (q, n, NL) int32 stack at k>=20 is tens of GB
+        eval_grp = max(1, int(_os.environ.get("H2T_EVAL_GROUP_BYTES",
+                                              2 << 30)) // (n * 4 * NL))
+        res_parts = []
+        for off in range(0, len(pairs), eval_grp):
+            chunk_pairs = pairs[off:off + eval_grp]
+            vals_stack = jnp.stack([values[nm] for nm, _ in chunk_pairs])
+            widx = jnp.asarray([points.index(pt) for _, pt in chunk_pairs],
+                               jnp.int32)
+            res_parts.append(np.asarray(
+                frops.eval_lagrange_many(vals_stack, weights, widx)))
+        res = np.concatenate(res_parts, axis=0)
     evals = {pair: int(limbs.limbs_to_int(res[i]) % rc.FR)
              for i, pair in enumerate(pairs)}
 
@@ -898,60 +914,29 @@ class _QuotientCtx:
         return jnp.roll(arr, -r * self.stride, axis=-2)
 
 
-def _quotient_fn(pk: ProvingKey):
-    """Returns `run(advice_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal)
-    -> h_pieces` (evals/multiopen consume Lagrange values directly, so the
-    intermediate coefficient forms never leave this pipeline).
-
-    Internally: 2 batched NTT programs for the conversions + one fused
-    jitted pointwise program for the whole constraint forest.
-    """
-    cached = pk.__dict__.get("_quotient_prog")
-    if cached is not None:
-        return cached
-
+def _make_pointwise(csys, pk, rows: int, stride: int):
+    """Factory for the fused pointwise quotient evaluator over `rows`
+    domain points with rotation stride `stride` (ext domain: stride =
+    ext_n/n; coset-separated mode: stride = 1 on one size-n coset)."""
     from ..ops.field import FR as FRS
 
-    csys = pk.vk.cs
-    dom = pk.domain()
-    n, ext_n = dom.n, dom.extended_n
     bf = csys.blinding_factors()
-    u_row = n - bf - 1
+    dom = pk.domain()
+    u_row = dom.n - bf - 1
     chunk_len = csys.permutation_chunk_len()
     perm_cols = csys.permutation_columns
     chunks = [perm_cols[i:i + chunk_len]
               for i in range(0, len(perm_cols), chunk_len)]
-    num_lk = len(csys.lookups)
-    qd = csys.quotient_degree
-    stride = ext_n // n
 
     def lc(v: int):
         return jnp.asarray(limbs.int_to_limbs(v % rc.FR, NL))
 
-    # ---- one-time per-pk precomputations (device arrays) ----
-    fixed_ext = _coeff2ext_batch(pk.fixed_coeff, dom.extended_k, dom.G_COSET) \
-        if pk.fixed_coeff.shape[0] else jnp.zeros((0, ext_n, NL), jnp.int32)
-    sigma_ext = _coeff2ext_batch(pk.sigma_coeff, dom.extended_k, dom.G_COSET) \
-        if pk.sigma_coeff.shape[0] else jnp.zeros((0, ext_n, NL), jnp.int32)
-    basis = np.zeros((3, n, NL), np.int32)
-    basis[0, 0, 0] = 1
-    basis[1, u_row, 0] = 1
-    basis[2, u_row + 1:, 0] = 1
-    basis_ext = _coeff2ext_batch(
-        _lag2coeff_batch(jnp.asarray(basis), dom.k), dom.extended_k,
-        dom.G_COSET)
-    l0_ext_c, llast_ext_c, lblind_ext_c = (basis_ext[i] for i in range(3))
-    ident_ext_c = frops.mul(
-        frops.powers(lc(dom.extended_omega), ext_n),
-        jnp.broadcast_to(lc(dom.G_COSET)[None], (ext_n, NL)))
-    zh_inv = jnp.asarray(dom.zh_inv_extended)
-
     def pointwise(col_ext, permz_ext, lkz_ext, lka_ext, lks_ext, chal,
                   fixed_ext, sigma_ext, l0_ext, llast_ext, lblind_ext,
                   ident_ext, zh_inv):
-        """col_ext: (na+ni, ext_n, NL) — advice then instance columns."""
+        """col_ext: (na+ni, rows, NL) — advice then instance columns."""
         def bc(v):
-            return jnp.broadcast_to(v[None], (ext_n, NL))
+            return jnp.broadcast_to(v[None], (rows, NL))
 
         theta_e, beta_e, gamma_e, y_e = (bc(chal[i]) for i in range(4))
         fadd = lambda a, b: limbs.add(FRS, a, b)
@@ -986,10 +971,6 @@ def _quotient_fn(pk: ProvingKey):
 
         custom = pk.__dict__.get("quotient_custom")
         if custom is not None:
-            # circuit-supplied vectorized evaluator (large structured gate
-            # forests — e.g. the SHA256 bit gates — compile to intractable
-            # per-column graphs through the generic tree walk; the custom
-            # path evaluates them as stacked-column array programs)
             ctx = _QuotientCtx(col_ext=col_ext, fixed_ext=fixed_ext,
                                stride=stride, chal=chal)
             vals = custom(ctx)
@@ -1050,6 +1031,232 @@ def _quotient_fn(pk: ProvingKey):
 
         return fmul(h, zh_inv)
 
+    return pointwise
+
+
+# Above this many bytes of int32 extended-domain residency (live columns x
+# ext_n x NL x 4), the quotient switches to the COSET-SEPARATED pipeline:
+# every rotation in the constraint forest is a multiple of the coset
+# stride, so the extended evaluation factors into `stride` INDEPENDENT
+# size-n coset passes — HBM stays bounded by one coset's working set
+# regardless of k.  (The aggregation circuit at k>=20 carries 50+ fixed +
+# 20+ sigma columns: materializing them on the 4n extended domain as int32
+# wants ~85 GB on a 16 GB chip.)
+_EXT_BUDGET = int(_os.environ.get("H2T_EXT_BUDGET_BYTES", 2 << 30))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _coeff2coset_jit(cols: jnp.ndarray, k: int, g: int) -> jnp.ndarray:
+    """(C, n, NL) coeffs -> values on the size-n coset g*H (same domain
+    size — the coset-separated quotient's conversion unit)."""
+    from ..ops.field import FR as FRS
+    x = jnp.moveaxis(cols.astype(jnp.int32), 0, 1)        # (n, C, NL)
+    gpw = frops.powers(Fr.from_ints([g % rc.FR])[0], x.shape[0])
+    x = limbs.mul(FRS, x, gpw[:, None, :])
+    return jnp.moveaxis(ntt.ntt(x, k), 1, 0)
+
+
+def _to_u8(cols: jnp.ndarray, group: int = 8) -> jnp.ndarray:
+    """Canonicalize columns to u8 storage in bounded chunks."""
+    from ..ops.field import FR as FRS
+    if cols.shape[0] == 0 or cols.dtype == jnp.uint8:
+        return cols.astype(jnp.uint8)
+    outs = []
+    for off in range(0, cols.shape[0], group):
+        c = limbs.canonical_pad(FRS, cols[off:off + group].astype(jnp.int32))
+        outs.append(c.astype(jnp.uint8))
+        np.asarray(outs[-1][0, :1, :1])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def _quotient_fn_coset(pk: ProvingKey):
+    """Coset-separated quotient: bounded-HBM pipeline for big circuits.
+
+    Every rotation in the pointwise forest is a multiple of the coset
+    stride (rot(arr, r) rolls by r*stride rows), so the extended-domain
+    evaluation FACTORS over the `stride` interleaved cosets g_c*H
+    (g_c = g*w_ext^c): each coset is one size-n conversion + one size-n
+    pointwise pass with stride-1 rotations.  Z_H is CONSTANT per coset
+    (Z_H(g_c w^t) = g_c^n - 1), and the quotient pieces come back from the
+    per-coset values with one batched size-n iNTT + a stride x stride
+    inverse-DFT combine:
+
+        b_c[d]   = iNTT_n(h_c)[d] = sum_j a_{d+jn} g_c^{d+jn}
+        b'_c[d]  = b_c[d] g_c^{-d} = sum_j (a_{d+jn} s^j) zeta^{cj}
+        a_{d+jn} = s^{-j} / stride * sum_c zeta^{-cj} b'_c[d]
+
+    with s = g^n, zeta = w_ext^n (a primitive stride-th root).  All
+    converted columns are staged CANONICAL-U8; nothing ext_n-sized is ever
+    materialized.  Same transcript bytes as the one-shot path (exact
+    arithmetic; piece polynomials are identical)."""
+    csys = pk.vk.cs
+    dom = pk.domain()
+    n, ext_n = dom.n, dom.extended_n
+    bf = csys.blinding_factors()
+    u_row = n - bf - 1
+    qd = csys.quotient_degree
+    stride = ext_n // n
+    k = dom.k
+
+    def lc(v: int):
+        return jnp.asarray(limbs.int_to_limbs(v % rc.FR, NL))
+
+    # per-pk small precomputations
+    basis = np.zeros((3, n, NL), np.int32)
+    basis[0, 0, 0] = 1
+    basis[1, u_row, 0] = 1
+    basis[2, u_row + 1:, 0] = 1
+    basis_coeff = _lag2coeff_batch(jnp.asarray(basis), k)
+
+    g_cosets = [dom.G_COSET * pow(dom.extended_omega, c, rc.FR) % rc.FR
+                for c in range(stride)]
+    s_pow = pow(dom.G_COSET, n, rc.FR)
+    zeta = pow(dom.extended_omega, n, rc.FR)
+    inv_stride = rc.finv(stride, rc.FR)
+
+    pointwise = _make_pointwise(csys, pk, n, 1)
+    pointwise_jit = jax.jit(pointwise)
+
+    def conv(cols, g_c, to8=True):
+        if cols.shape[0] == 0:
+            return cols.astype(jnp.uint8 if to8 else jnp.int32)
+        out = _chunk_cols(lambda grp: _coeff2coset_jit(grp, k, g_c), cols,
+                          group=_group_for(n))
+        return _to_u8(out) if to8 else out
+
+    def run(adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal):
+        import time as _time
+        _p2 = bool(_os.environ.get("H2T_PROFILE2"))
+        _t = [_time.perf_counter()]
+
+        def _tick2(stage):
+            if _p2:
+                now = _time.perf_counter()
+                print(f"    [quot/coset] {stage}: {now - _t[0]:.3f}s",
+                      flush=True)
+                _t[0] = now
+
+        counts = [adv_lag.shape[0], inst_lag.shape[0], permz_lag.shape[0],
+                  lk_z.shape[0], lk_a.shape[0], lk_s.shape[0]]
+        lag_all = jnp.concatenate([adv_lag, inst_lag, permz_lag,
+                                   lk_z, lk_a, lk_s], axis=0)
+        coeff_all = _to_u8(_lag2coeff_batch(lag_all, k))
+        del lag_all
+        _tick2(f"lag2coeff+u8 x{sum(counts)}")
+
+        h_cosets = []
+        for c, g_c in enumerate(g_cosets):
+            fresh = conv(coeff_all, g_c)
+            fixed_c = conv(pk.fixed_coeff, g_c)
+            sigma_c = conv(pk.sigma_coeff, g_c)
+            aux_c = conv(basis_coeff, g_c, to8=False)
+            ident_c = frops.mul(
+                frops.powers(lc(dom.omega), n),
+                jnp.broadcast_to(lc(g_c)[None], (n, NL)))
+            zh_c = (pow(g_c, n, rc.FR) - 1) % rc.FR
+            zh_inv_c = jnp.broadcast_to(
+                lc(rc.finv(zh_c, rc.FR))[None], (n, NL))
+            o = 0
+            parts = []
+            for m in counts:
+                parts.append(fresh[o:o + m])
+                o += m
+            adv_c, inst_c, permz_c, lkz_c, lka_c, lks_c = parts
+            col_c = jnp.concatenate([adv_c, inst_c], axis=0)
+            h_c = pointwise_jit(col_c, permz_c, lkz_c, lka_c, lks_c, chal,
+                                fixed_c, sigma_c, aux_c[0], aux_c[1],
+                                aux_c[2], ident_c, zh_inv_c)
+            np.asarray(h_c[:1, :1])       # bound in-flight memory
+            h_cosets.append(h_c)
+            _tick2(f"coset {c}")
+
+        # pieces: batched size-n iNTT + per-coset g_c^{-d} scale + the
+        # stride x stride inverse DFT across cosets
+        hstack = jnp.stack(h_cosets, axis=1)              # (n, stride, NL)
+        b = ntt.intt(hstack, k)                           # (n, stride, NL)
+        bp = []
+        for c, g_c in enumerate(g_cosets):
+            ginv = rc.finv(g_c, rc.FR)
+            bp.append(frops.mul(b[:, c], frops.powers(lc(ginv), n)))
+        pieces = []
+        s_inv_j = 1
+        for j in range(qd):
+            accp = None
+            for c in range(stride):
+                w = pow(zeta, (-c * j) % stride, rc.FR) * inv_stride % rc.FR
+                term = frops.mul(bp[c], jnp.broadcast_to(lc(w)[None],
+                                                         (n, NL)))
+                accp = term if accp is None else frops.add(accp, term)
+            accp = frops.mul(accp, jnp.broadcast_to(lc(s_inv_j)[None],
+                                                    (n, NL)))
+            pieces.append(accp)
+            s_inv_j = s_inv_j * rc.finv(s_pow, rc.FR) % rc.FR
+        out = jnp.stack(pieces)
+        _tick2("piece combine")
+        return out
+
+    return run
+
+
+def _quotient_fn(pk: ProvingKey):
+    """Returns `run(advice_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal)
+    -> h_pieces` (evals/multiopen consume Lagrange values directly, so the
+    intermediate coefficient forms never leave this pipeline).
+
+    Internally: 2 batched NTT programs for the conversions + one fused
+    jitted pointwise program for the whole constraint forest — or the
+    coset-separated pipeline when the extended residency exceeds
+    H2T_EXT_BUDGET_BYTES (see _quotient_fn_coset).
+    """
+    cached = pk.__dict__.get("_quotient_prog")
+    if cached is not None:
+        return cached
+
+    from ..ops.field import FR as FRS
+
+    csys = pk.vk.cs
+    dom = pk.domain()
+    n, ext_n = dom.n, dom.extended_n
+    bf = csys.blinding_factors()
+    u_row = n - bf - 1
+    chunk_len = csys.permutation_chunk_len()
+    perm_cols = csys.permutation_columns
+    chunks = [perm_cols[i:i + chunk_len]
+              for i in range(0, len(perm_cols), chunk_len)]
+    num_lk = len(csys.lookups)
+    qd = csys.quotient_degree
+
+    live_cols = (csys.num_advice + csys.num_instance + csys.num_fixed
+                 + len(perm_cols) + len(chunks) + 3 * num_lk + 4)
+    if live_cols * ext_n * NL * 4 > _EXT_BUDGET:
+        run = _quotient_fn_coset(pk)
+        pk.__dict__["_quotient_prog"] = run
+        return run
+
+    stride = ext_n // n
+
+    def lc(v: int):
+        return jnp.asarray(limbs.int_to_limbs(v % rc.FR, NL))
+
+    # ---- one-time per-pk precomputations (device arrays) ----
+    fixed_ext = _coeff2ext_batch(pk.fixed_coeff, dom.extended_k, dom.G_COSET) \
+        if pk.fixed_coeff.shape[0] else jnp.zeros((0, ext_n, NL), jnp.int32)
+    sigma_ext = _coeff2ext_batch(pk.sigma_coeff, dom.extended_k, dom.G_COSET) \
+        if pk.sigma_coeff.shape[0] else jnp.zeros((0, ext_n, NL), jnp.int32)
+    basis = np.zeros((3, n, NL), np.int32)
+    basis[0, 0, 0] = 1
+    basis[1, u_row, 0] = 1
+    basis[2, u_row + 1:, 0] = 1
+    basis_ext = _coeff2ext_batch(
+        _lag2coeff_batch(jnp.asarray(basis), dom.k), dom.extended_k,
+        dom.G_COSET)
+    l0_ext_c, llast_ext_c, lblind_ext_c = (basis_ext[i] for i in range(3))
+    ident_ext_c = frops.mul(
+        frops.powers(lc(dom.extended_omega), ext_n),
+        jnp.broadcast_to(lc(dom.G_COSET)[None], (ext_n, NL)))
+    zh_inv = jnp.asarray(dom.zh_inv_extended)
+
+    pointwise = _make_pointwise(csys, pk, ext_n, stride)
     pointwise_jit = jax.jit(pointwise)
 
     # Pallas-fused pointwise program (generic expression forests): keeps
