@@ -76,13 +76,16 @@ def build_tables(base_affine, wbits: int) -> jnp.ndarray:
     """(N, 2, NL) affine int32 -> (NWIN*N, 2, NL) uint8 window tables.
 
     T[w] = 2^(wbits*w) * base: `wbits` batched complete doublings per
-    window step (Pallas kernels on TPU), all windows kept projective, then
-    ONE batched affine normalization at the end — per-window `to_affine`
-    paid an eager 2^17-wide inversion scan 15 times (~14 s each).
+    window step (Pallas kernels on TPU), windows kept projective, ONE
+    batched affine normalization per chunk — per-window `to_affine` paid
+    an eager 2^17-wide inversion scan 15 times (~14 s each).  Base points
+    are processed in 2^17-point chunks: at k>=20 all NWIN windows of the
+    whole basis held projective at once (~7 GB+) OOMed 16 GB HBM.
     Window count covers 272-bit (uncanonicalized resident) scalars."""
     nwin = _nwin(wbits)
     n = base_affine.shape[0]
-    P = curve.from_affine(jnp.asarray(base_affine, dtype=jnp.int32))
+    CH = min(n, 1 << 17)
+    assert n % CH == 0, (n, CH)
 
     @jax.jit
     def shift(P):
@@ -90,14 +93,20 @@ def build_tables(base_affine, wbits: int) -> jnp.ndarray:
             P = curve.double(P)
         return P
 
-    windows = [P]
-    for w in range(1, nwin):
-        P = shift(P)
-        windows.append(P)
-    stacked = tuple(jnp.concatenate([wv[c] for wv in windows], axis=0)
-                    for c in range(3))
-    aff = np.asarray(curve.to_affine(stacked))           # canonical limbs
-    return jnp.asarray(aff.astype(np.uint8))
+    base_np = np.asarray(base_affine)
+    out = np.zeros((nwin, n, 2, NL), dtype=np.uint8)
+    for off in range(0, n, CH):
+        P = curve.from_affine(jnp.asarray(base_np[off:off + CH],
+                                          dtype=jnp.int32))
+        windows = [P]
+        for w in range(1, nwin):
+            P = shift(P)
+            windows.append(P)
+        stacked = tuple(jnp.concatenate([wv[c] for wv in windows], axis=0)
+                        for c in range(3))
+        aff = np.asarray(curve.to_affine(stacked))       # canonical limbs
+        out[:, off:off + CH] = aff.reshape(nwin, CH, 2, NL).astype(np.uint8)
+    return jnp.asarray(out.reshape(nwin * n, 2, NL))
 
 
 def load_or_build_tables(base_affine, wbits: int,

@@ -134,6 +134,16 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     bf = csys.blinding_factors()
     u_row = n - bf - 1            # l_last row / last active row
 
+    # big domains: committed witness columns are canonicalized to u8 right
+    # after their commitment leaves for the transcript — at k=20 the
+    # aggregation circuit's ~50 witness/Z columns cost ~7 GB as int32 vs
+    # ~1.8 GB as u8, and every later consumer (quotient conversion, evals,
+    # SHPLONK) upcasts in-program anyway
+    _shrink = n >= int(_os.environ.get("H2T_U8_MIN_N", 1 << 19))
+
+    def _post_commit(col):
+        return _to_u8(col[None])[0] if _shrink else col
+
     # -- 0: vk & instances into transcript ------------------------------------
     transcript.common_scalar(vk.transcript_repr())
     for col in instances:
@@ -171,6 +181,9 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         bits = [csys.advice_value_bits.get(i) for i in expected]
         for pt in _commit_mixed(params, batch, bits, u_row):
             transcript.write_point(pt)
+        if _shrink:
+            for i in expected:
+                advice_cols[i] = _post_commit(advice_cols[i])
         for ci, cp in enumerate(csys.challenge_phases):
             if cp == phase:
                 challenges[ci] = transcript.squeeze_challenge()
@@ -200,6 +213,10 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         lookups.append(dict(a=a_comp, s=s_comp, a_perm=a_arr, s_perm=s_arr))
     for pt in _commit_mixed(params, lk_batch, lk_bits, u_row):
         transcript.write_point(pt)
+    if _shrink:
+        for lkd in lookups:
+            lkd["a_perm"] = _post_commit(lkd["a_perm"])
+            lkd["s_perm"] = _post_commit(lkd["s_perm"])
 
     _tick("lookup permute+commit")
     beta = transcript.squeeze_challenge()
@@ -316,6 +333,11 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     z_batch.append(random_vals)
     for pt in commit_many_lagrange(params, z_batch):
         transcript.write_point(pt)
+    if _shrink:
+        perm_zs = [_post_commit(z) for z in perm_zs]
+        for lkd in lookups:
+            lkd["z"] = _post_commit(lkd["z"])
+        random_vals = random_vals.astype(jnp.uint8)   # bytes by construction
 
     _tick("grand products+random")
     y = transcript.squeeze_challenge()
@@ -1136,12 +1158,15 @@ def _quotient_fn_coset(pk: ProvingKey):
                       flush=True)
                 _t[0] = now
 
-        counts = [adv_lag.shape[0], inst_lag.shape[0], permz_lag.shape[0],
-                  lk_z.shape[0], lk_a.shape[0], lk_s.shape[0]]
-        lag_all = jnp.concatenate([adv_lag, inst_lag, permz_lag,
-                                   lk_z, lk_a, lk_s], axis=0)
-        coeff_all = _to_u8(_lag2coeff_batch(lag_all, k))
-        del lag_all
+        sources = [adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s]
+        counts = [x.shape[0] for x in sources]
+        # convert per source stack (mixed u8/int32 dtypes must not be
+        # concatenated first — the promote would materialize everything
+        # as int32 at once)
+        coeff_parts = [
+            _to_u8(_lag2coeff_batch(x, k)) if x.shape[0]
+            else jnp.zeros((0, n, NL), jnp.uint8) for x in sources]
+        coeff_all = jnp.concatenate(coeff_parts, axis=0)
         _tick2(f"lag2coeff+u8 x{sum(counts)}")
 
         h_cosets = []
