@@ -84,7 +84,7 @@ def build_tables(base_affine, wbits: int) -> jnp.ndarray:
     Window count covers 272-bit (uncanonicalized resident) scalars."""
     nwin = _nwin(wbits)
     n = base_affine.shape[0]
-    CH = min(n, 1 << 17)
+    CH = min(n, 1 << 16)
     assert n % CH == 0, (n, CH)
 
     @jax.jit

@@ -89,6 +89,14 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
             print(f"  [keygen] {stage}: {now - _kt[0]:.3f}s", flush=True)
             _kt[0] = now
 
+    # build (or load) the fixed-base commit tables FIRST, while HBM is
+    # empty — the one-time table build transients plus a big circuit's
+    # resident pk columns together exceeded 16 GB at k=20
+    from .kzg import _fb_wanted
+    if _fb_wanted(params.n):
+        params.fixed_base(lagrange=True)
+    _ktick("fb tables")
+
     fixed_lag = data.fixed_limbs()
     num_fixed = fixed_lag.shape[0]
     _ktick("fixed limbs")
@@ -146,7 +154,10 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
     perm_commitments = commitments[num_fixed:]
     _ktick("commits")
     if all_lag.shape[0]:
-        all_coeff = _u8(_lag2coeff_batch(all_lag, data.k))
+        from .prover import _convert_u8, _group_for
+        all_coeff = _convert_u8(all_lag,
+                                lambda grp: _lag2coeff_batch(grp, data.k),
+                                _group_for(n))
         fixed_coeff = all_coeff[:num_fixed]
         sigma_coeff = all_coeff[num_fixed:]
         fixed_lag, sigma_lag = all_lag[:num_fixed], all_lag[num_fixed:]

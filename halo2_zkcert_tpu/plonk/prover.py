@@ -1091,6 +1091,21 @@ def _to_u8(cols: jnp.ndarray, group: int = 8) -> jnp.ndarray:
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def _convert_u8(cols, fn, group: int):
+    """Apply a group-wise conversion and canonicalize each group's output
+    to u8 BEFORE the next group runs — the int32 outputs of a wide column
+    batch must never be live all at once (80 cols at 2^20 = 11 GB)."""
+    m = cols.shape[0]
+    if m == 0:
+        return jnp.zeros(cols.shape, jnp.uint8)
+    outs = []
+    for off in range(0, m, group):
+        c = cols[off:off + group]
+        outs.append(_to_u8(fn(c)))
+        np.asarray(outs[-1][0, :1, :1])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def _quotient_fn_coset(pk: ProvingKey):
     """Coset-separated quotient: bounded-HBM pipeline for big circuits.
 
@@ -1142,9 +1157,12 @@ def _quotient_fn_coset(pk: ProvingKey):
     def conv(cols, g_c, to8=True):
         if cols.shape[0] == 0:
             return cols.astype(jnp.uint8 if to8 else jnp.int32)
-        out = _chunk_cols(lambda grp: _coeff2coset_jit(grp, k, g_c), cols,
-                          group=_group_for(n))
-        return _to_u8(out) if to8 else out
+        if to8:
+            return _convert_u8(cols,
+                               lambda grp: _coeff2coset_jit(grp, k, g_c),
+                               _group_for(n))
+        return _chunk_cols(lambda grp: _coeff2coset_jit(grp, k, g_c), cols,
+                           group=_group_for(n))
 
     def run(adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal):
         import time as _time
@@ -1164,7 +1182,8 @@ def _quotient_fn_coset(pk: ProvingKey):
         # concatenated first — the promote would materialize everything
         # as int32 at once)
         coeff_parts = [
-            _to_u8(_lag2coeff_batch(x, k)) if x.shape[0]
+            _convert_u8(x, lambda grp: _lag2coeff_batch(grp, k),
+                        _group_for(1 << k)) if x.shape[0]
             else jnp.zeros((0, n, NL), jnp.uint8) for x in sources]
         coeff_all = jnp.concatenate(coeff_parts, axis=0)
         _tick2(f"lag2coeff+u8 x{sum(counts)}")
