@@ -113,13 +113,14 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
         from ..ops.field import FR as FRS
         om = frops.powers(Fr.from_ints([dom.omega])[0], n)
         delta_pows = Fr.from_ints([pow(DELTA, c, rc.FR) for c in range(m)])
+        from .prover import _u8_rep
         chunks = []
-        for off in range(0, m, 4):     # bound transient int32 memory
-            rr = jnp.asarray(mapping[off:off + 4, :, 1], jnp.int32)
-            cc = jnp.asarray(mapping[off:off + 4, :, 0], jnp.int32)
+        for off in range(0, m, 2):     # bound transient int32 memory
+            rr = jnp.asarray(mapping[off:off + 2, :, 1], jnp.int32)
+            cc = jnp.asarray(mapping[off:off + 2, :, 0], jnp.int32)
             sig = frops.mul(jnp.take(om, rr, axis=0),
                             jnp.take(delta_pows, cc, axis=0))
-            chunks.append(limbs.canonical_pad(FRS, sig).astype(jnp.uint8))
+            chunks.append(_u8_rep(sig))
             np.asarray(chunks[-1][0, :1, :1])
         sigma_lag = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 \
             else chunks[0]
@@ -128,43 +129,31 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
     sig_vals = np.zeros((0, 0), dtype=object)
     _ktick("sigma columns")
 
-    # pk columns are stored CANONICAL-UINT8: a column at k=21 is 277 MB as
-    # int32 limb rows but 69 MB as u8 — the aggregation circuit's 54 fixed
-    # + 23 sigma columns (x lagrange+coeff) simply do not fit 16 GB HBM as
-    # int32.  Consumers upcast inside their programs (free: the u8 HBM
-    # read is the win; limb kernels compute in f32/int32 regardless).
-    # fixed_lag is u8-canonical by construction (fixed_limbs); sigma is
-    # canonicalized here in 8-column chunks to bound transient memory.
-    def _u8(cols):
-        from ..ops.field import FR as FRS
-        if cols.shape[0] == 0:
-            return jnp.zeros((0, n, limbs.NLIMBS), jnp.uint8)
-        out = []
-        for off in range(0, cols.shape[0], 8):
-            c = limbs.canonical_pad(FRS, jnp.asarray(cols[off:off + 8],
-                                                     jnp.int32))
-            out.append(c.astype(jnp.uint8))
-            np.asarray(out[-1][0, :1, :1])   # bound in-flight memory
-        return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
-
-    all_lag = jnp.concatenate([fixed_lag, sigma_lag], axis=0)   # u8
-    commitments = commit_many_lagrange(params, all_lag) if all_lag.shape[0] \
-        else []
-    fixed_commitments = commitments[:num_fixed]
-    perm_commitments = commitments[num_fixed:]
+    # pk columns are stored as U8 byte representatives: a column at k=21
+    # is 277 MB as int32 limb rows but 69 MB as u8 — the aggregation
+    # circuit's 54 fixed + 23 sigma columns (x lagrange+coeff) simply do
+    # not fit 16 GB HBM as int32.  Consumers upcast inside their programs
+    # (free: the u8 HBM read is the win; limb kernels compute in f32/int32
+    # regardless).  fixed_lag is byte-exact by construction (fixed_limbs).
+    # fixed and sigma processed as SEPARATE stacks: concatenating them
+    # duplicated ~3 GB of u8 columns on a chip already carrying the fb
+    # table + accumulating coeff outputs (OOM at k=20)
+    from .prover import _convert_u8, _group_for
+    fixed_commitments = commit_many_lagrange(params, fixed_lag) \
+        if num_fixed else []
+    perm_commitments = commit_many_lagrange(params, sigma_lag) \
+        if sigma_lag.shape[0] else []
     _ktick("commits")
-    if all_lag.shape[0]:
-        from .prover import _convert_u8, _group_for
-        all_coeff = _convert_u8(all_lag,
-                                lambda grp: _lag2coeff_batch(grp, data.k),
-                                _group_for(n))
-        fixed_coeff = all_coeff[:num_fixed]
-        sigma_coeff = all_coeff[num_fixed:]
-        fixed_lag, sigma_lag = all_lag[:num_fixed], all_lag[num_fixed:]
-        _ktick("lag2coeff+u8")
-    else:
-        fixed_coeff = jnp.zeros((0, n, limbs.NLIMBS), jnp.uint8)
-        sigma_coeff = jnp.zeros((0, n, limbs.NLIMBS), jnp.uint8)
+
+    def _coeff(cols):
+        if not cols.shape[0]:
+            return jnp.zeros((0, n, limbs.NLIMBS), jnp.uint8)
+        return _convert_u8(cols, lambda grp: _lag2coeff_batch(grp, data.k),
+                           _group_for(n))
+
+    fixed_coeff = _coeff(fixed_lag)
+    sigma_coeff = _coeff(sigma_lag)
+    _ktick("lag2coeff+u8")
 
     vk = VerifyingKey(
         k=data.k, cs=data.cs,

@@ -708,9 +708,13 @@ _NTT_GROUP = 8
 def _group_for(out_rows: int, group=None) -> int:
     """Columns per conversion program, scaled down for big domains so the
     live working set stays bounded (k>=19 aggregation domains would blow
-    HBM at the fixed group of 8)."""
+    HBM at the fixed group of 8).  At 2^20+ rows the radix-2 NTT's conv
+    temporaries on a multi-column group exceeded HBM alongside a big
+    circuit's resident pk columns — single-column programs there."""
     if group is not None:
         return group
+    if out_rows >= (1 << 20):
+        return 1
     budget = int(_os.environ.get("H2T_NTT_GROUP_BYTES", 600 << 20))
     return max(1, min(_NTT_GROUP, budget // (out_rows * 4 * NL)))
 
@@ -1078,15 +1082,27 @@ def _coeff2coset_jit(cols: jnp.ndarray, k: int, g: int) -> jnp.ndarray:
     return jnp.moveaxis(ntt.ntt(x, k), 1, 0)
 
 
-def _to_u8(cols: jnp.ndarray, group: int = 8) -> jnp.ndarray:
-    """Canonicalize columns to u8 storage in bounded chunks."""
+@jax.jit
+def _u8_rep(cols: jnp.ndarray) -> jnp.ndarray:
+    """Resident limb rows -> byte-digit representative, u8.
+
+    exact_digits of a resident value (< 2^259) fits NLIMBS bytes (264
+    bits), so the slice is lossless; this is a REPRESENTATIVE (same value
+    mod r), not the canonical form — all consumers are mod-r arithmetic.
+    Much lighter than canonical(): one carry-table scan vs six
+    compare-subtract rounds (which OOMed at 2^20-row groups)."""
     from ..ops.field import FR as FRS
+    d = limbs.exact_digits(FRS, cols.astype(jnp.int32))
+    return d[..., :limbs.NLIMBS].astype(jnp.uint8)
+
+
+def _to_u8(cols: jnp.ndarray, group: int = 2) -> jnp.ndarray:
+    """Columns -> u8 byte-representative storage in bounded chunks."""
     if cols.shape[0] == 0 or cols.dtype == jnp.uint8:
         return cols.astype(jnp.uint8)
     outs = []
     for off in range(0, cols.shape[0], group):
-        c = limbs.canonical_pad(FRS, cols[off:off + group].astype(jnp.int32))
-        outs.append(c.astype(jnp.uint8))
+        outs.append(_u8_rep(cols[off:off + group]))
         np.asarray(outs[-1][0, :1, :1])
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
