@@ -176,14 +176,15 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             col = phase_cols[i]
             blinds = Fr.from_ints(rng.fill(bf + 1))
             col = col.at[u_row:].set(blinds)
+            # u8 BEFORE committing: the commitment of a byte representative
+            # is the same group element, and the u8 batch avoids stacking
+            # GBs of int32 columns on big domains
+            col = _post_commit(col)
             advice_cols[i] = col
             batch.append(col)
         bits = [csys.advice_value_bits.get(i) for i in expected]
         for pt in _commit_mixed(params, batch, bits, u_row):
             transcript.write_point(pt)
-        if _shrink:
-            for i in expected:
-                advice_cols[i] = _post_commit(advice_cols[i])
         for ci, cp in enumerate(csys.challenge_phases):
             if cp == phase:
                 challenges[ci] = transcript.squeeze_challenge()
@@ -208,15 +209,12 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             raise ValueError(f"lookup '{lk.name}' failure: input not in table")
         a_arr = a_arr.at[u_row:].set(Fr.from_ints(rng.fill(bf + 1)))
         s_arr = s_arr.at[u_row:].set(Fr.from_ints(rng.fill(bf + 1)))
+        a_arr, s_arr = _post_commit(a_arr), _post_commit(s_arr)
         lk_batch += [a_arr, s_arr]
         lk_bits += [lk.max_bits, lk.max_bits]
         lookups.append(dict(a=a_comp, s=s_comp, a_perm=a_arr, s_perm=s_arr))
     for pt in _commit_mixed(params, lk_batch, lk_bits, u_row):
         transcript.write_point(pt)
-    if _shrink:
-        for lkd in lookups:
-            lkd["a_perm"] = _post_commit(lkd["a_perm"])
-            lkd["s_perm"] = _post_commit(lkd["s_perm"])
 
     _tick("lookup permute+commit")
     beta = transcript.squeeze_challenge()
@@ -269,12 +267,13 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     # (137 ms vs 96 ms for m=3 at 2^17 on TPU, tools/microbench.py gp).
     m_gp = len(nums)
     one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
-    units_l = []
-    for i in range(m_gp):
+    units = []      # per-column list — stacking 20+ int32 columns at
+    for i in range(m_gp):               # k>=20 costs GBs for no reason
         ratio = frops.mul(nums[i], frops.batch_inv(dens[i]))
         shifted1 = jnp.concatenate([one_row, ratio[:-1]], axis=0)
-        units_l.append(frops.prefix_product(shifted1))
-    units = jnp.stack(units_l)
+        units.append(frops.prefix_product(shifted1))
+    if _os.environ.get("H2T_SELFCHECK") != "3":
+        nums = dens = None      # selfcheck3 reads the recurrence operands
 
     perm_zs = []
     start = _fr(1)                 # device scalar — chunk chaining, no fetch
@@ -284,15 +283,19 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             unit, jnp.broadcast_to(start[None], (n, NL)))
         start = z[u_row]
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
+        z = _post_commit(z)
         perm_zs.append(z)
+        units[ci] = None        # free the int32 unit
 
     # -- 4: lookup grand products ------------------------------------------------
     z_batch = list(perm_zs)
     for li, lkd in enumerate(lookups):
         z = units[len(chunks) + li]
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
+        z = _post_commit(z)
         z_batch.append(z)
         lkd["z"] = z
+        units[len(chunks) + li] = None
 
     if _os.environ.get("H2T_SELFCHECK") == "3":
         # level 3: validate the grand-product recurrences over H (mock
@@ -329,15 +332,11 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     # -- 5: vanishing random poly — defined by its (uniform) VALUES over H
     # and committed through the Lagrange SRS in the same batch as the
     # grand-product columns (one device program fewer on the critical path)
-    random_vals = jnp.asarray(rng.fill_limbs(n))
+    random_vals = jnp.asarray(rng.fill_limbs(n).astype(
+        np.uint8 if _shrink else np.int32))           # bytes by construction
     z_batch.append(random_vals)
     for pt in commit_many_lagrange(params, z_batch):
         transcript.write_point(pt)
-    if _shrink:
-        perm_zs = [_post_commit(z) for z in perm_zs]
-        for lkd in lookups:
-            lkd["z"] = _post_commit(lkd["z"])
-        random_vals = random_vals.astype(jnp.uint8)   # bytes by construction
 
     _tick("grand products+random")
     y = transcript.squeeze_challenge()
