@@ -283,7 +283,27 @@ def _pack_key_u32(digits: jnp.ndarray) -> tuple:
     return tuple(words)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+def _canon_digits_chunked(vals: jnp.ndarray, chunk: int = 1 << 18):
+    """Eager chunked canonical digits: limbs.canonical's compare-subtract
+    rounds inside one big jit held multi-GB transients at 2^20 rows
+    alongside a large circuit's residency (OOM); chunking eagerly bounds
+    the live set."""
+    n = vals.shape[0]
+    if n <= chunk:
+        return _canon_jit(vals)
+    outs = []
+    for off in range(0, n, chunk):
+        outs.append(_canon_jit(vals[off:off + chunk]))
+        import numpy as _np2
+        _np2.asarray(outs[-1][:1, :1])
+    return jnp.concatenate(outs, axis=0)
+
+
+@jax.jit
+def _canon_jit(vals):
+    return limbs.canonical(FR, vals)
+
+
 def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int,
                           max_bits: int | None = None):
     """Device-side halo2 lookup permutation (no host fetch of the columns).
@@ -301,6 +321,15 @@ def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int,
     shrinks the key to ceil(max_bits/32) words — a 16-bit range lookup
     sorts on ONE word instead of eight.
     """
+    da = _canon_digits_chunked(a)
+    ds = _canon_digits_chunked(s)
+    return _lookup_permute_core(a, s, da, ds, usable, max_bits)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _lookup_permute_core(a: jnp.ndarray, s: jnp.ndarray,
+                         digits_a: jnp.ndarray, digits_s: jnp.ndarray,
+                         usable: int, max_bits: int | None = None):
     import numpy as _np
     n = a.shape[0]
     mask = jnp.arange(n) < usable
@@ -308,8 +337,7 @@ def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int,
     # sort above every real value
     nw = 8 if max_bits is None else max(1, -(-min(max_bits, 231) // 32))
 
-    def sort_perm(vals):
-        digits = limbs.canonical(FR, vals)              # (n, 32)
+    def sort_perm(vals, digits):
         words = _pack_key_u32(digits)[:nw]
         # rows >= usable get the max key so they sort to the top
         words = tuple(jnp.where(mask, w, jnp.uint32(0xFFFFFFFF)) for w in words)
@@ -318,8 +346,8 @@ def lookup_permute_device(a: jnp.ndarray, s: jnp.ndarray, usable: int,
             perm = perm[jnp.argsort(w[perm], stable=True)]
         return perm, words
 
-    pa, wa = sort_perm(a)
-    ps, ws = sort_perm(s)
+    pa, wa = sort_perm(a, digits_a)
+    ps, ws = sort_perm(s, digits_s)
     a_sorted = a[pa]
     s_sorted = s[ps]
     ka = jnp.stack([w[pa] for w in wa], 1)              # (n, nw) sorted keys
