@@ -215,8 +215,11 @@ class GateBuilder:
             cs.create_gate(f"vgate{col.index}",
                            selectors[j] * (A(0) + A(1) * A(2) - A(3)))
         for col in lk_adv:
+            # max_bits: prover hint (bounded-window commits + 1-word sort
+            # keys); lookup-advice values are copies of range-checked cells
             cs.add_lookup(f"range{col.index}",
-                          [(ex.Advice(col.index, phase=phase), table)])
+                          [(ex.Advice(col.index, phase=phase), table)],
+                          max_bits=self.lookup_bits)
         for col in adv + lk_adv:
             cs.enable_permutation(Column(ADVICE, col.index))
         cs.enable_permutation(Column(FIXED, f_const.index))

@@ -323,7 +323,7 @@ class BigintTape:
             rel = (A(0) * A(1) - A(2) * A(6) - A(3)
                    - (tau - BASE) * (A(4) + BASE * A(5) - OFF * A(7)))
             cs.create_gate(f"tape_rel{ln}", q_rel * rel)
-            cs.add_lookup(f"tape_range{ln}", [(v, table)])
+            cs.add_lookup(f"tape_range{ln}", [(v, table)], max_bits=B)
             cs.enable_permutation(Column(ADVICE, a.index))
             cs.enable_permutation(Column(ADVICE, v.index))
         return {"v_cols": v_cols, "a_cols": a_cols, "table": table,

@@ -470,8 +470,11 @@ class FixedBaseMsm:
         outs = []
         # balanced groups: a single bounded column used to be padded to a
         # 4-wide program (3 phantom columns of scan work); group counts
-        # are per-circuit constants so the shapes stay stable
-        n_prog = -(-m // GROUP_SMALL)
+        # are per-circuit constants so the shapes stay stable.  At 2^20+
+        # rows the grouped program's gather+scan transients (~4 GB) OOM
+        # next to a big circuit's residency — single-column programs there.
+        gs = 1 if self.n >= (1 << 20) else GROUP_SMALL
+        n_prog = -(-m // gs)
         per = -(-m // n_prog)
         for base in range(0, m, per):
             g = min(per, m - base)

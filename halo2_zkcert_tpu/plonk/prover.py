@@ -212,7 +212,10 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         a_arr, s_arr = _post_commit(a_arr), _post_commit(s_arr)
         lk_batch += [a_arr, s_arr]
         lk_bits += [lk.max_bits, lk.max_bits]
-        lookups.append(dict(a=a_comp, s=s_comp, a_perm=a_arr, s_perm=s_arr))
+        # compressed a/s shrink too (consumed by the grand products and
+        # selfchecks as mod-r values only)
+        lookups.append(dict(a=_post_commit(a_comp), s=_post_commit(s_comp),
+                            a_perm=a_arr, s_perm=s_arr))
     for pt in _commit_mixed(params, lk_batch, lk_bits, u_row):
         transcript.write_point(pt)
 

@@ -132,6 +132,11 @@ def gen_pk(params: ParamsKZG, data: CircuitData,
     """keygen + optional persistence (reference `gen_pk`, cli.rs:247)."""
     if path and os.path.exists(path + ".npz"):
         pk = read_pk(path)
+        # adopt the LIVE constraint system when it matches the cached one:
+        # prover-only hints (lookup max_bits, expression identity for the
+        # fused quotient) don't serialize, and the digest proves equality
+        if pk.vk.cs.digest_bytes() == data.cs.digest_bytes():
+            pk.vk.cs = data.cs
     else:
         pk = _keygen(params, data)
         if path:
