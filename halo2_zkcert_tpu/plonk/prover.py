@@ -182,6 +182,8 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             col = _post_commit(col)
             advice_cols[i] = col
             batch.append(col)
+            phase_cols[i] = None    # free the int32 original eagerly
+        phase_cols = None
         bits = [csys.advice_value_bits.get(i) for i in expected]
         for pt in _commit_mixed(params, batch, bits, u_row):
             transcript.write_point(pt)
@@ -239,8 +241,8 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     # each chunk's unit scan with the previous chunk's boundary value.
     omega_pows = dom.omega_pows_device
     beta_l, gamma_l = _bcast(beta, n), _bcast(gamma, n)
-    nums, dens = [], []
-    for ci, chunk in enumerate(chunks):
+
+    def _gp_perm(ci, chunk):
         num = None
         den = None
         for pos_in_chunk, col in enumerate(chunk):
@@ -253,52 +255,52 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             t_den = frops.add(frops.add(v, frops.mul(sig, beta_l)), gamma_l)
             num = t_num if num is None else frops.mul(num, t_num)
             den = t_den if den is None else frops.mul(den, t_den)
-        nums.append(num)
-        dens.append(den)
-    for lkd in lookups:
-        nums.append(frops.mul(frops.add(lkd["a"], beta_l),
-                              frops.add(lkd["s"], gamma_l)))
-        dens.append(frops.mul(frops.add(lkd["a_perm"], beta_l),
-                              frops.add(lkd["s_perm"], gamma_l)))
+        return num, den
 
-    # Per-column inversion + scan.  The round-2 "batched" variant (one
-    # shared inversion + one batched scan) is GONE: its wrong-Z defect was
-    # the grid scan miscompiling on the non-power-of-two 3*2^17 batch_inv
-    # concat (docs/DEBUG_R3_VERIFY_REGRESSION.md) — now impossible at the
-    # primitive (ops/scan.py pads internally) — and with async dispatch
-    # pipelining the per-column ops, batched measured SLOWER anyway
-    # (137 ms vs 96 ms for m=3 at 2^17 on TPU, tools/microbench.py gp).
-    m_gp = len(nums)
+    def _gp_lookup(lkd):
+        return (frops.mul(frops.add(lkd["a"], beta_l),
+                          frops.add(lkd["s"], gamma_l)),
+                frops.mul(frops.add(lkd["a_perm"], beta_l),
+                          frops.add(lkd["s_perm"], gamma_l)))
+
+    # ONE streaming pass per grand product: num/den/unit for a column are
+    # freed before the next column starts — materializing all ~21 triples
+    # at once cost ~9 GB at k=20.  (The round-2 "batched" variant is gone:
+    # its wrong-Z defect was the non-power-of-two grid-scan input, now
+    # impossible at the primitive, and per-column pipelines faster anyway —
+    # docs/DEBUG_R3_VERIFY_REGRESSION.md.)  Blinding draw order matches the
+    # old two-loop structure (chunks first, then lookups).
+    _sc3 = _os.environ.get("H2T_SELFCHECK") == "3"
+    sc3_ops = [] if _sc3 else None
     one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
-    units = []      # per-column list — stacking 20+ int32 columns at
-    for i in range(m_gp):               # k>=20 costs GBs for no reason
-        ratio = frops.mul(nums[i], frops.batch_inv(dens[i]))
-        shifted1 = jnp.concatenate([one_row, ratio[:-1]], axis=0)
-        units.append(frops.prefix_product(shifted1))
-    if _os.environ.get("H2T_SELFCHECK") != "3":
-        nums = dens = None      # selfcheck3 reads the recurrence operands
+
+    def _unit_of(num, den):
+        ratio = frops.mul(num, frops.batch_inv(den))
+        if _sc3:
+            sc3_ops.append((num, den))
+        return frops.prefix_product(
+            jnp.concatenate([one_row, ratio[:-1]], axis=0))
 
     perm_zs = []
     start = _fr(1)                 # device scalar — chunk chaining, no fetch
-    for ci in range(len(chunks)):
-        unit = units[ci]
+    for ci, chunk in enumerate(chunks):
+        unit = _unit_of(*_gp_perm(ci, chunk))
         z = unit if ci == 0 else frops.mul(
             unit, jnp.broadcast_to(start[None], (n, NL)))
+        unit = None
         start = z[u_row]
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
         z = _post_commit(z)
         perm_zs.append(z)
-        units[ci] = None        # free the int32 unit
 
     # -- 4: lookup grand products ------------------------------------------------
     z_batch = list(perm_zs)
     for li, lkd in enumerate(lookups):
-        z = units[len(chunks) + li]
+        z = _unit_of(*_gp_lookup(lkd))
         z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
         z = _post_commit(z)
         z_batch.append(z)
         lkd["z"] = z
-        units[len(chunks) + li] = None
 
     if _os.environ.get("H2T_SELFCHECK") == "3":
         # level 3: validate the grand-product recurrences over H (mock
@@ -312,8 +314,9 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
 
         for ci in range(len(chunks)):
             z = perm_zs[ci]
-            resid = frops.sub(frops.mul(jnp.roll(z, -1, axis=0), dens[ci]),
-                              frops.mul(z, nums[ci]))
+            num_ci, den_ci = sc3_ops[ci]
+            resid = frops.sub(frops.mul(jnp.roll(z, -1, axis=0), den_ci),
+                              frops.mul(z, num_ci))
             allzero(resid, u_row, f"perm_z{ci} recurrence")
             if ci:
                 allzero(frops.sub(perm_zs[ci][:1],
