@@ -153,7 +153,11 @@ def _chunk_buckets(table_flat, digits_flat, off, chunk: int, wbits: int):
     dch = jax.lax.dynamic_slice_in_dim(digits_flat, off, chunk)
     order = jnp.argsort(dch)
     pts = table_flat[off + order].astype(jnp.int32)
-    prefix = scan_points(curve.from_affine(pts))
+    # table points are never the identity: skip from_affine's is_zero
+    # exact-carry pass over the whole chunk
+    x, y = pts[..., 0, :], pts[..., 1, :]
+    one = jnp.zeros_like(x).at[..., 0].set(1)
+    prefix = scan_points((x, y, one))
     return _extract_buckets(prefix, dch[order], wbits)
 
 
@@ -416,18 +420,21 @@ class FixedBaseMsm:
         """Large-domain commit path: per column, slice the flat pair stream
         into CHUNK-sized rounds through ONE compiled sort+scan program
         (`_chunk_buckets`, dynamic offset), accumulating bucket partials —
-        live memory stays O(CHUNK + 2^wbits) regardless of n."""
+        live memory stays O(chunk + 2^wbits) regardless of n.  The chunk
+        halves at 2^20+ bases: big circuits run these commits next to
+        10+ GB of resident columns."""
         m = cols.shape[0]
+        chunk = CHUNK // 2 if self.n >= (1 << 20) else CHUNK
         outs = []
         for j in range(m):
             digits = _digits(cols[j], self.wbits)
             digits_flat = digits.T.reshape(-1)
             total = digits_flat.shape[0]
-            assert total % CHUNK == 0, (total, CHUNK)
+            assert total % chunk == 0, (total, chunk)
             buckets = None
-            for off in range(0, total, CHUNK):
+            for off in range(0, total, chunk):
                 part = _chunk_buckets(self.table_flat, digits_flat,
-                                      off, CHUNK, self.wbits)
+                                      off, chunk, self.wbits)
                 buckets = part if buckets is None \
                     else _add_buckets(buckets, part)
                 np.asarray(buckets[0][:1, :1])   # bound in-flight memory

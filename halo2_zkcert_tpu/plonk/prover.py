@@ -151,6 +151,9 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
             transcript.common_scalar(v)
 
     inst_lag = [instance_lagrange(col, n) for col in instances]
+    if _shrink:
+        # canonical byte limbs by construction — store u8
+        inst_lag = [c.astype(jnp.uint8) for c in inst_lag]
 
     # -- 1: per-phase: blind & commit advice, squeeze phase challenges ---------
     if callable(witness):
@@ -356,24 +359,26 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
                                            for i in range(csys.num_challenges)]
     chal = jnp.stack([_fr(c) for c in chal_list])
 
-    def stack_or_empty(arrs, m=n):
-        if arrs:
-            return jnp.stack(list(arrs))
-        return jnp.zeros((0, m, NL), jnp.int32)
-
-    adv_stack = stack_or_empty(advice_cols)
-    inst_stack = stack_or_empty(inst_lag)
-    permz_stack = stack_or_empty(perm_zs)
-    lkz_stack = stack_or_empty([d["z"] for d in lookups])
-    lka_stack = stack_or_empty([d["a_perm"] for d in lookups])
-    lks_stack = stack_or_empty([d["s_perm"] for d in lookups])
+    if _shrink:
+        # the LAGRANGE commit table (1.2 GB) is idle through the quotient
+        # and its h commits run on the MONOMIAL table; drop it for
+        # headroom — the multiopen's commit_lagrange reloads it lazily
+        # from the disk cache
+        params.__dict__.pop("_fb_lagrange", None)
+    # column LISTS, not stacks: the quotient run stacks (one-shot mode) or
+    # converts per column (coset mode); pre-stacking duplicated ~2.4 GB of
+    # columns that must ALSO stay alive for the evals/multiopen
     h_pieces_stack = qfn(
-        adv_stack, inst_stack, permz_stack, lkz_stack, lka_stack, lks_stack,
-        chal)
+        list(advice_cols), list(inst_lag), list(perm_zs),
+        [d["z"] for d in lookups], [d["a_perm"] for d in lookups],
+        [d["s_perm"] for d in lookups], chal)
     num_pieces = csys.quotient_degree
     h_pieces = [h_pieces_stack[i] for i in range(num_pieces)]
     for pt in commit_many(params, h_pieces_stack):
         transcript.write_point(pt)
+    if _shrink:
+        # the monomial table served its only consumers (the h commits)
+        params.__dict__.pop("_fb_monomial", None)
 
     _tick("quotient+commit")
     x = transcript.squeeze_challenge()
@@ -1197,16 +1202,17 @@ def _quotient_fn_coset(pk: ProvingKey):
                       flush=True)
                 _t[0] = now
 
+        # sources arrive as LISTS of single columns — convert one column
+        # at a time (no stacked copies; mixed u8/int32 dtypes never meet)
         sources = [adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s]
-        counts = [x.shape[0] for x in sources]
-        # convert per source stack (mixed u8/int32 dtypes must not be
-        # concatenated first — the promote would materialize everything
-        # as int32 at once)
-        coeff_parts = [
-            _convert_u8(x, lambda grp: _lag2coeff_batch(grp, k),
-                        _group_for(1 << k)) if x.shape[0]
-            else jnp.zeros((0, n, NL), jnp.uint8) for x in sources]
-        coeff_all = jnp.concatenate(coeff_parts, axis=0)
+        counts = [len(x) for x in sources]
+        cols_u8 = []
+        for src in sources:
+            for col in src:
+                cols_u8.append(_to_u8(_lag2coeff_batch(col[None], k)))
+        coeff_all = jnp.concatenate(cols_u8, axis=0) if cols_u8 else \
+            jnp.zeros((0, n, NL), jnp.uint8)
+        cols_u8 = None
         _tick2(f"lag2coeff+u8 x{sum(counts)}")
 
         h_cosets = []
@@ -1351,18 +1357,22 @@ def _quotient_fn(pk: ProvingKey):
                 print(f"    [quot] {stage}: {now - _t[0]:.3f}s", flush=True)
                 _t[0] = now
 
-        def stack_or_zero(x, m=n):
-            return x if x.shape[0] else jnp.zeros((0, m, NL), jnp.int32)
+        def _stack(arrs):
+            if len(arrs):
+                return jnp.stack([c.astype(jnp.int32) for c in arrs])
+            return jnp.zeros((0, n, NL), jnp.int32)
 
-        # batched conversions (3 NTT dispatches for everything fresh)
-        lag_all = jnp.concatenate([adv_lag, inst_lag, permz_lag,
-                                   lk_z, lk_a, lk_s], axis=0)
+        # batched conversions (3 NTT dispatches for everything fresh);
+        # columns arrive as lists (see create_proof)
+        lag_all = jnp.concatenate(
+            [_stack(x) for x in (adv_lag, inst_lag, permz_lag,
+                                 lk_z, lk_a, lk_s)], axis=0)
         coeff_all = _lag2coeff_batch(lag_all, dom.k)
         _tick2(f"lag2coeff x{int(lag_all.shape[0])}", coeff_all)
         ext_all = _coeff2ext_batch(coeff_all, dom.extended_k, dom.G_COSET)
         _tick2(f"coeff2ext x{int(coeff_all.shape[0])}", ext_all)
-        na, ni = adv_lag.shape[0], inst_lag.shape[0]
-        nz, nl_ = permz_lag.shape[0], lk_z.shape[0]
+        na, ni = len(adv_lag), len(inst_lag)
+        nz, nl_ = len(permz_lag), len(lk_z)
         o = 0
         col_ext = ext_all[:na + ni]; o = na + ni
         permz_ext = ext_all[o:o + nz]; o += nz
