@@ -365,6 +365,17 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         # headroom — the multiopen's commit_lagrange reloads it lazily
         # from the disk cache
         params.__dict__.pop("_fb_lagrange", None)
+        # fixed/sigma LAGRANGE pk columns (~3 GB at the aggregation scale)
+        # are also idle through the quotient (the coset pipeline reads the
+        # COEFF forms); stash to a host mirror and restore before the
+        # evals/multiopen
+        mirror = pk.__dict__.get("_host_mirror")
+        if mirror is None:
+            mirror = {"fixed_lagrange": np.asarray(pk.fixed_lagrange),
+                      "sigma_lagrange": np.asarray(pk.sigma_lagrange)}
+            pk.__dict__["_host_mirror"] = mirror
+        pk.fixed_lagrange = None
+        pk.sigma_lagrange = None
     # column LISTS, not stacks: the quotient run stacks (one-shot mode) or
     # converts per column (coset mode); pre-stacking duplicated ~2.4 GB of
     # columns that must ALSO stay alive for the evals/multiopen
@@ -379,6 +390,9 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     if _shrink:
         # the monomial table served its only consumers (the h commits)
         params.__dict__.pop("_fb_monomial", None)
+        mirror = pk.__dict__["_host_mirror"]
+        pk.fixed_lagrange = jnp.asarray(mirror["fixed_lagrange"])
+        pk.sigma_lagrange = jnp.asarray(mirror["sigma_lagrange"])
 
     _tick("quotient+commit")
     x = transcript.squeeze_challenge()

@@ -117,7 +117,7 @@ def read_pk(path: str) -> ProvingKey:
     sigma_values = np.array([[int(v) for v in row] for row in sv],
                             dtype=object) if sv.size else np.zeros((0, 0),
                                                                    dtype=object)
-    return ProvingKey(
+    pk = ProvingKey(
         vk=vk,
         fixed_lagrange=jnp.asarray(z["fixed_lagrange"]),
         fixed_coeff=jnp.asarray(z["fixed_coeff"]),
@@ -125,6 +125,13 @@ def read_pk(path: str) -> ProvingKey:
         sigma_coeff=jnp.asarray(z["sigma_coeff"]),
         sigma_values=sigma_values,
     )
+    # host mirror for the prover's big-domain stash/restore (free here —
+    # the arrays are already host-resident from the npz)
+    pk.__dict__["_host_mirror"] = {
+        "fixed_lagrange": np.asarray(z["fixed_lagrange"]),
+        "sigma_lagrange": np.asarray(z["sigma_lagrange"]),
+    }
+    return pk
 
 
 def gen_pk(params: ParamsKZG, data: CircuitData,
