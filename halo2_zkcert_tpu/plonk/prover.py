@@ -371,11 +371,20 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         # evals/multiopen
         mirror = pk.__dict__.get("_host_mirror")
         if mirror is None:
-            mirror = {"fixed_lagrange": np.asarray(pk.fixed_lagrange),
-                      "sigma_lagrange": np.asarray(pk.sigma_lagrange)}
+            mirror = {}
             pk.__dict__["_host_mirror"] = mirror
+        for nm in ("fixed_lagrange", "sigma_lagrange",
+                   "fixed_coeff", "sigma_coeff"):
+            arr = getattr(pk, nm)
+            if arr is not None:
+                mirror.setdefault(nm, np.asarray(arr))
         pk.fixed_lagrange = None
         pk.sigma_lagrange = None
+        # the coeff arrays stay HOST-resident permanently: the coset
+        # quotient uploads one column at a time (they have no other
+        # consumers)
+        pk.fixed_coeff = None
+        pk.sigma_coeff = None
     # column LISTS, not stacks: the quotient run stacks (one-shot mode) or
     # converts per column (coset mode); pre-stacking duplicated ~2.4 GB of
     # columns that must ALSO stay alive for the evals/multiopen
@@ -1229,11 +1238,16 @@ def _quotient_fn_coset(pk: ProvingKey):
         cols_u8 = None
         _tick2(f"lag2coeff+u8 x{sum(counts)}")
 
+        mirror = pk.__dict__.get("_host_mirror", {})
+        fixed_src = pk.fixed_coeff if pk.fixed_coeff is not None \
+            else mirror["fixed_coeff"]
+        sigma_src = pk.sigma_coeff if pk.sigma_coeff is not None \
+            else mirror["sigma_coeff"]
         h_cosets = []
         for c, g_c in enumerate(g_cosets):
             fresh = conv(coeff_all, g_c)
-            fixed_c = conv(pk.fixed_coeff, g_c)
-            sigma_c = conv(pk.sigma_coeff, g_c)
+            fixed_c = conv(fixed_src, g_c)
+            sigma_c = conv(sigma_src, g_c)
             aux_c = conv(basis_coeff, g_c, to8=False)
             ident_c = frops.mul(
                 frops.powers(lc(dom.omega), n),

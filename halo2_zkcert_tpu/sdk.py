@@ -120,9 +120,12 @@ def read_pk(path: str) -> ProvingKey:
     pk = ProvingKey(
         vk=vk,
         fixed_lagrange=jnp.asarray(z["fixed_lagrange"]),
-        fixed_coeff=jnp.asarray(z["fixed_coeff"]),
+        # coeff forms stay host-side numpy: their only consumer is the
+        # quotient's one-time (per pk) conversion pipeline, which uploads
+        # what it needs — keeping GBs resident on big domains is wasted HBM
+        fixed_coeff=np.asarray(z["fixed_coeff"]),
         sigma_lagrange=jnp.asarray(z["sigma_lagrange"]),
-        sigma_coeff=jnp.asarray(z["sigma_coeff"]),
+        sigma_coeff=np.asarray(z["sigma_coeff"]),
         sigma_values=sigma_values,
     )
     # host mirror for the prover's big-domain stash/restore (free here —
@@ -130,6 +133,8 @@ def read_pk(path: str) -> ProvingKey:
     pk.__dict__["_host_mirror"] = {
         "fixed_lagrange": np.asarray(z["fixed_lagrange"]),
         "sigma_lagrange": np.asarray(z["sigma_lagrange"]),
+        "fixed_coeff": np.asarray(z["fixed_coeff"]),
+        "sigma_coeff": np.asarray(z["sigma_coeff"]),
     }
     return pk
 
