@@ -1203,15 +1203,17 @@ def _quotient_fn_coset(pk: ProvingKey):
     pointwise = _make_pointwise(csys, pk, n, 1)
     pointwise_jit = jax.jit(pointwise)
 
-    def conv(cols, g_c, to8=True):
-        if cols.shape[0] == 0:
-            return cols.astype(jnp.uint8 if to8 else jnp.int32)
-        if to8:
-            return _convert_u8(cols,
-                               lambda grp: _coeff2coset_jit(grp, k, g_c),
-                               _group_for(n))
-        return _chunk_cols(lambda grp: _coeff2coset_jit(grp, k, g_c), cols,
-                           group=_group_for(n))
+    def conv_list(cols, g_c):
+        """Per-column coset conversion -> LIST of (1, n, NL) u8 arrays.
+
+        No concatenation anywhere: every multi-GB concat doubled its
+        operand's footprint at exactly the wrong moment.  The jitted
+        pointwise indexes the lists directly (lists are pytree args)."""
+        out = []
+        for i in range(cols.shape[0]):
+            out.append(_u8_rep(_coeff2coset_jit(cols[i:i + 1], k, g_c))[0])
+            np.asarray(out[-1][:1, :1])
+        return out
 
     def run(adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s, chal):
         import time as _time
@@ -1226,16 +1228,14 @@ def _quotient_fn_coset(pk: ProvingKey):
                 _t[0] = now
 
         # sources arrive as LISTS of single columns — convert one column
-        # at a time (no stacked copies; mixed u8/int32 dtypes never meet)
+        # at a time; everything stays a LIST of single-column arrays
         sources = [adv_lag, inst_lag, permz_lag, lk_z, lk_a, lk_s]
         counts = [len(x) for x in sources]
-        cols_u8 = []
+        coeff_cols = []
         for src in sources:
             for col in src:
-                cols_u8.append(_to_u8(_lag2coeff_batch(col[None], k)))
-        coeff_all = jnp.concatenate(cols_u8, axis=0) if cols_u8 else \
-            jnp.zeros((0, n, NL), jnp.uint8)
-        cols_u8 = None
+                coeff_cols.append(_u8_rep(_lag2coeff_batch(col[None], k))[0])
+                np.asarray(coeff_cols[-1][:1, :1])
         _tick2(f"lag2coeff+u8 x{sum(counts)}")
 
         mirror = pk.__dict__.get("_host_mirror", {})
@@ -1245,10 +1245,15 @@ def _quotient_fn_coset(pk: ProvingKey):
             else mirror["sigma_coeff"]
         h_cosets = []
         for c, g_c in enumerate(g_cosets):
-            fresh = conv(coeff_all, g_c)
-            fixed_c = conv(fixed_src, g_c)
-            sigma_c = conv(sigma_src, g_c)
-            aux_c = conv(basis_coeff, g_c, to8=False)
+            fresh = []
+            for col in coeff_cols:
+                fresh.append(_u8_rep(_coeff2coset_jit(col[None], k, g_c))[0])
+                np.asarray(fresh[-1][:1, :1])
+            fixed_c = conv_list(fixed_src, g_c)
+            sigma_c = conv_list(sigma_src, g_c)
+            aux_c = _chunk_cols(
+                lambda grp: _coeff2coset_jit(grp, k, g_c), basis_coeff,
+                group=3)
             ident_c = frops.mul(
                 frops.powers(lc(dom.omega), n),
                 jnp.broadcast_to(lc(g_c)[None], (n, NL)))
@@ -1261,11 +1266,12 @@ def _quotient_fn_coset(pk: ProvingKey):
                 parts.append(fresh[o:o + m])
                 o += m
             adv_c, inst_c, permz_c, lkz_c, lka_c, lks_c = parts
-            col_c = jnp.concatenate([adv_c, inst_c], axis=0)
+            col_c = adv_c + inst_c                     # list concat (views)
             h_c = pointwise_jit(col_c, permz_c, lkz_c, lka_c, lks_c, chal,
                                 fixed_c, sigma_c, aux_c[0], aux_c[1],
                                 aux_c[2], ident_c, zh_inv_c)
             np.asarray(h_c[:1, :1])       # bound in-flight memory
+            fresh = fixed_c = sigma_c = parts = None
             h_cosets.append(h_c)
             _tick2(f"coset {c}")
 
