@@ -187,6 +187,117 @@ class ConstraintSystem:
 
     # ---- serialization (vk metadata) ------------------------------------
 
+    def to_dict(self) -> dict:
+        """Pickle-free structural encoding (JSON-safe).
+
+        Expressions are flattened into a shared node table (index-linked)
+        so hash-consed subtrees serialize once and deserialize back to
+        shared objects.  Replaces the hex-pickle the vk/snark artifacts
+        carried through round 4 (unpickling attacker-supplied proof files
+        is an arbitrary-code-execution hazard; reference snark files are
+        plain bincode data, snark-verifier-sdk [dep] Cargo.lock:2714).
+        """
+        nodes: list = []
+        index: dict = {}
+
+        def enc(e: ex.Expr) -> int:
+            i = index.get(e)
+            if i is not None:
+                return i
+            if isinstance(e, ex.Constant):
+                node = ["c", str(e.value)]
+            elif isinstance(e, ex.Fixed):
+                node = ["f", e.index, e.rotation]
+            elif isinstance(e, ex.Advice):
+                node = ["a", e.index, e.rotation, e.phase]
+            elif isinstance(e, ex.Instance):
+                node = ["i", e.index, e.rotation]
+            elif isinstance(e, ex.Challenge):
+                node = ["ch", e.index, e.phase]
+            elif isinstance(e, ex.Sum):
+                node = ["+", enc(e.a), enc(e.b)]
+            elif isinstance(e, ex.Product):
+                node = ["*", enc(e.a), enc(e.b)]
+            elif isinstance(e, ex.Scaled):
+                node = ["s", enc(e.a), str(e.scalar)]
+            else:
+                raise TypeError(f"cannot serialize expr {e!r}")
+            nodes.append(node)
+            i = len(nodes) - 1
+            index[e] = i
+            return i
+
+        return {
+            "num_fixed": self.num_fixed,
+            "num_advice": self.num_advice,
+            "num_instance": self.num_instance,
+            "num_challenges": self.num_challenges,
+            "advice_phases": list(self.advice_phases),
+            "challenge_phases": list(self.challenge_phases),
+            "nodes": nodes,
+            "gates": [[name, enc(g)] for name, g in self.gates],
+            "lookups": [[lk.name,
+                         [[enc(a), enc(b)] for a, b in lk.pairs],
+                         lk.max_bits] for lk in self.lookups],
+            "permutation_columns": [[c.kind, c.index]
+                                    for c in self.permutation_columns],
+            "advice_value_bits": {str(k): v
+                                  for k, v in self.advice_value_bits.items()},
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "ConstraintSystem":
+        raw = d["nodes"]
+        built: list = [None] * len(raw)
+
+        def dec(i: int) -> ex.Expr:
+            if built[i] is not None:
+                return built[i]
+            n = raw[i]
+            tag = n[0]
+            if tag == "c":
+                e = ex.Constant(int(n[1]))
+            elif tag == "f":
+                e = ex.Fixed(int(n[1]), int(n[2]))
+            elif tag == "a":
+                e = ex.Advice(int(n[1]), int(n[2]), int(n[3]))
+            elif tag == "i":
+                e = ex.Instance(int(n[1]), int(n[2]))
+            elif tag == "ch":
+                e = ex.Challenge(int(n[1]), int(n[2]))
+            elif tag == "+":
+                e = ex.Sum(dec(int(n[1])), dec(int(n[2])))
+            elif tag == "*":
+                e = ex.Product(dec(int(n[1])), dec(int(n[2])))
+            elif tag == "s":
+                e = ex.Scaled(dec(int(n[1])), int(n[2]))
+            else:
+                raise ValueError(f"unknown expr node tag {tag!r}")
+            built[i] = e
+            return e
+
+        # children precede parents in the table; recursion on deep gate
+        # trees would blow the stack, so decode in table order instead
+        for i in range(len(raw)):
+            dec(i)
+        return ConstraintSystem(
+            num_fixed=int(d["num_fixed"]),
+            num_advice=int(d["num_advice"]),
+            num_instance=int(d["num_instance"]),
+            num_challenges=int(d["num_challenges"]),
+            advice_phases=[int(p) for p in d["advice_phases"]],
+            challenge_phases=[int(p) for p in d["challenge_phases"]],
+            gates=[(name, built[int(gi)]) for name, gi in d["gates"]],
+            lookups=[Lookup(name,
+                            [(built[int(a)], built[int(b)]) for a, b in pairs],
+                            max_bits)
+                     for name, pairs, max_bits in d["lookups"]],
+            permutation_columns=[Column(kind, int(idx))
+                                 for kind, idx in d["permutation_columns"]],
+            advice_value_bits={int(k): int(v)
+                               for k, v in d["advice_value_bits"].items()},
+        )
+
     def digest_bytes(self) -> bytes:
         """Canonical byte encoding of the whole CS for vk hashing."""
         parts = [

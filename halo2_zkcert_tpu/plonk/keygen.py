@@ -63,8 +63,10 @@ class ProvingKey:
     fixed_coeff: jnp.ndarray         # (num_fixed, n, NL)
     sigma_lagrange: jnp.ndarray      # (m, n, NL)
     sigma_coeff: jnp.ndarray         # (m, n, NL)
-    # host tables
-    sigma_values: np.ndarray         # (m, n) object ints (for Z building)
+    # retired host table (Z building reads sigma_lagrange); kept as a field
+    # so old call sites destructure cleanly — always empty
+    sigma_values: np.ndarray = dc_field(
+        default_factory=lambda: np.zeros((0, 0), dtype=object))
 
     def domain(self) -> Domain:
         return self.vk.domain()
@@ -110,7 +112,6 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
     m = mapping.shape[0]
     _ktick("permutation mapping")
     if m:
-        from ..ops.field import FR as FRS
         om = frops.powers(Fr.from_ints([dom.omega])[0], n)
         delta_pows = Fr.from_ints([pow(DELTA, c, rc.FR) for c in range(m)])
         from .prover import _u8_rep
@@ -126,7 +127,6 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
             else chunks[0]
     else:
         sigma_lag = jnp.zeros((0, n, limbs.NLIMBS), jnp.uint8)
-    sig_vals = np.zeros((0, 0), dtype=object)
     _ktick("sigma columns")
 
     # pk columns are stored as U8 byte representatives: a column at k=21
@@ -166,7 +166,6 @@ def keygen(params: ParamsKZG, data: CircuitData) -> ProvingKey:
         vk=vk,
         fixed_lagrange=fixed_lag, fixed_coeff=fixed_coeff,
         sigma_lagrange=sigma_lag, sigma_coeff=sigma_coeff,
-        sigma_values=sig_vals,
     )
     if data.quotient_custom is not None:
         pk.__dict__["quotient_custom"] = data.quotient_custom

@@ -14,7 +14,6 @@ from __future__ import annotations
 import io
 import json
 import os
-import pickle
 from dataclasses import dataclass
 
 import numpy as np
@@ -39,7 +38,7 @@ class Snark:
 
     def write(self, path: str) -> None:
         blob = {
-            "version": 1,
+            "version": 2,
             "vk": _vk_to_dict(self.vk),
             "instances": [[int(v) for v in col] for col in self.instances],
             "proof": self.proof.hex(),
@@ -65,16 +64,21 @@ def _vk_to_dict(vk: VerifyingKey) -> dict:
         "fixed_commitments": [[x, y] for (x, y) in vk.fixed_commitments],
         "permutation_commitments": [[x, y] for (x, y)
                                     in vk.permutation_commitments],
-        # the CS itself is structural; persisted via pickle of the dataclass
-        # tree (expressions are plain frozen dataclasses)
-        "cs": pickle.dumps(vk.cs).hex(),
+        # structural encoding (ConstraintSystem.to_dict) — no pickle:
+        # snark/vk files may come from untrusted parties
+        "cs": vk.cs.to_dict(),
     }
 
 
 def _vk_from_dict(d: dict) -> VerifyingKey:
     acc = d.get("accumulator_indices")
+    if isinstance(d["cs"], str):
+        raise ValueError(
+            "legacy pickle-format vk artifact; regenerate it (or convert "
+            "with tools/migrate_artifacts.py) — pickle loading was removed")
+    from .plonk.cs import ConstraintSystem
     return VerifyingKey(
-        k=d["k"], cs=pickle.loads(bytes.fromhex(d["cs"])),
+        k=d["k"], cs=ConstraintSystem.from_dict(d["cs"]),
         fixed_commitments=[(int(x), int(y)) for x, y in d["fixed_commitments"]],
         permutation_commitments=[(int(x), int(y)) for x, y
                                  in d["permutation_commitments"]],
@@ -103,20 +107,15 @@ def write_pk(pk: ProvingKey, path: str) -> None:
         fixed_coeff=np.asarray(pk.fixed_coeff),
         sigma_lagrange=np.asarray(pk.sigma_lagrange),
         sigma_coeff=np.asarray(pk.sigma_coeff),
-        sigma_values=np.asarray(
-            [[int(v) for v in row] for row in pk.sigma_values], dtype=object)
-        if pk.sigma_values.size else np.zeros((0, 0), dtype=object),
     )
 
 
 def read_pk(path: str) -> ProvingKey:
     vk = read_vk(path + ".vk")
+    # allow_pickle=False: pk files are plain numeric arrays (the retired
+    # sigma_values object entry in old files is simply never accessed)
     z = np.load(path if path.endswith(".npz") else path + ".npz",
-                allow_pickle=True)
-    sv = z["sigma_values"]
-    sigma_values = np.array([[int(v) for v in row] for row in sv],
-                            dtype=object) if sv.size else np.zeros((0, 0),
-                                                                   dtype=object)
+                allow_pickle=False)
     pk = ProvingKey(
         vk=vk,
         fixed_lagrange=jnp.asarray(z["fixed_lagrange"]),
@@ -126,7 +125,6 @@ def read_pk(path: str) -> ProvingKey:
         fixed_coeff=np.asarray(z["fixed_coeff"]),
         sigma_lagrange=jnp.asarray(z["sigma_lagrange"]),
         sigma_coeff=np.asarray(z["sigma_coeff"]),
-        sigma_values=sigma_values,
     )
     # host mirror for the prover's big-domain stash/restore (free here —
     # the arrays are already host-resident from the npz)
