@@ -41,7 +41,7 @@ class X509VerifierAggregationCircuit(AggregationCircuit):
     asserts exactly 4 snarks)."""
 
     def __init__(self, snarks: list, k: int = 22, lanes: int = 4,
-                 na: int = 2, nl: int = 1):
+                 na: int = 2, nl: int = 1, universal: bool = False):
         assert len(snarks) == 4, "X509 aggregation takes exactly 4 snarks"
         super().__init__(snarks, k, lanes=lanes, na=na, nl=nl,
-                         link=link_x509)
+                         link=link_x509, universal=universal)

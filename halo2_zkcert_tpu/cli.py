@@ -23,6 +23,10 @@ def _add_agg_shape(p):
     (the reference uses k=22 with halo2-base packing, cli.rs:394)."""
     p.add_argument("--lanes", type=int, default=8)
     p.add_argument("--na", type=int, default=4)
+    p.add_argument("--universal", action="store_true",
+                   help="witness the inner vks (VerifierUniversality::Full, "
+                        "reference lib.rs:47): one agg pk serves differing "
+                        "inner vks; exposes a vk-binding digest instance")
 
 
 def _add_common(p, k_default: int):
@@ -193,7 +197,8 @@ def main(argv=None):
                                      proof=s.proof))
         params = gen_srs(args.k, args.params_path)
         circuit = X509VerifierAggregationCircuit(
-            snarks, k=args.k, lanes=args.lanes, na=args.na)
+            snarks, k=args.k, lanes=args.lanes, na=args.na,
+            universal=args.universal)
         rep = circuit.rows_report()
         print(f"agg circuit: tape rows {rep['tape_rows']}, "
               f"builder cells {rep['builder_cells']}, usable {rep['usable']}")

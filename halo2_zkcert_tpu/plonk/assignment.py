@@ -46,6 +46,36 @@ class CircuitData:
     def n(self) -> int:
         return 1 << self.k
 
+    def cache_digest_bytes(self) -> bytes:
+        """Digest for pk-cache validation (sdk.gen_pk).
+
+        cs.digest_bytes() covers circuit STRUCTURE only — two circuits can
+        share a cs but differ in fixed-column values or the copy list (e.g.
+        a different baked constant), which changes the pk.  Hashing every
+        fixed value is minutes of host Python at k=20, so fixed columns and
+        copies are hashed by deterministic SAMPLE (all columns, strided
+        rows + head/tail).  Collision-resistant against accidental drift
+        (the cache is a local trust boundary, not an adversarial one).
+        """
+        h = rc  # alias for brevity
+        parts = [self.cs.digest_bytes(),
+                 f"k={self.k};ninst={self.num_instance};"
+                 f"acc={self.accumulator_indices}".encode()]
+        n = self.n
+        step = max(1, n // 2048)
+        rows = sorted(set(range(0, n, step)) | set(range(min(64, n)))
+                      | set(range(max(0, n - 64), n)))
+        for col in self.fixed:
+            parts.append(b"|col|")
+            parts.extend((int(col[r]) % rc.FR).to_bytes(32, "little")
+                         for r in rows)
+        cp = self.copies
+        parts.append(f"ncopies={len(cp)}".encode())
+        cstep = max(1, len(cp) // 4096)
+        sample = list(cp[:256]) + list(cp[-256:]) + list(cp[::cstep])
+        parts.append(repr(sample).encode())
+        return h.blake2b(b"".join(parts), 32, persona=b"h2t-pkcache")
+
     def fixed_limbs(self) -> jnp.ndarray:
         """(num_fixed, n, NLIMBS) device array of the fixed columns —
         canonical-u8 (values are reduced host-side, so limbs are bytes;

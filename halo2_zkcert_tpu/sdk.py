@@ -98,9 +98,14 @@ def read_vk(path: str) -> VerifyingKey:
         return _vk_from_dict(json.load(f))
 
 
-def write_pk(pk: ProvingKey, path: str) -> None:
+def write_pk(pk: ProvingKey, path: str,
+             cache_digest: bytes | None = None) -> None:
     """pk = vk sidecar (json) + device arrays (npz)."""
-    write_vk(pk.vk, path + ".vk")
+    d = _vk_to_dict(pk.vk)
+    if cache_digest is not None:
+        d["cache_digest"] = cache_digest.hex()
+    with open(path + ".vk", "w") as f:
+        json.dump(d, f)
     np.savez_compressed(
         path,
         fixed_lagrange=np.asarray(pk.fixed_lagrange),
@@ -140,17 +145,38 @@ def read_pk(path: str) -> ProvingKey:
 def gen_pk(params: ParamsKZG, data: CircuitData,
            path: str | None = None) -> ProvingKey:
     """keygen + optional persistence (reference `gen_pk`, cli.rs:247)."""
+    pk = None
+    want = data.cache_digest_bytes()
     if path and os.path.exists(path + ".npz"):
-        pk = read_pk(path)
-        # adopt the LIVE constraint system when it matches the cached one:
-        # prover-only hints (lookup max_bits, expression identity for the
-        # fused quotient) don't serialize, and the digest proves equality
-        if pk.vk.cs.digest_bytes() == data.cs.digest_bytes():
+        with open(path + ".vk") as f:
+            sidecar = json.load(f)
+        stored = sidecar.get("cache_digest")
+        if stored is not None:
+            valid = bytes.fromhex(stored) == want
+        else:
+            # legacy sidecar (no cache digest): fall back to structural
+            # equality, then retrofit the strong digest for next time
+            valid = (_vk_from_dict(sidecar).cs.digest_bytes()
+                     == data.cs.digest_bytes())
+        if valid:
+            pk = read_pk(path)
+            # adopt the LIVE constraint system: prover-only hints (lookup
+            # max_bits, expression identity for the fused quotient) don't
+            # serialize, and the digest proves equality
             pk.vk.cs = data.cs
-    else:
+            if stored is None:
+                sidecar["cache_digest"] = want.hex()
+                with open(path + ".vk", "w") as f:
+                    json.dump(sidecar, f)
+        else:
+            import sys
+            print(f"# gen_pk: cached pk at {path} no longer matches the "
+                  "circuit (cache digest drift) -> re-keygen + overwrite",
+                  file=sys.stderr)
+    if pk is None:
         pk = _keygen(params, data)
         if path:
-            write_pk(pk, path)
+            write_pk(pk, path, cache_digest=want)
     # quotient_custom is a closure — never serialized; re-graft from the
     # freshly built CircuitData so cached pks keep the fast quotient path
     if data.quotient_custom is not None:

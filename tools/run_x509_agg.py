@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--agg-k", type=int, default=21)
     ap.add_argument("--lanes", type=int, default=8)
     ap.add_argument("--na", type=int, default=2)
+    ap.add_argument("--universal", action="store_true",
+                    help="witness inner vks (VerifierUniversality::Full)")
     ap.add_argument("--skip-inner", action="store_true",
                     help="reuse ./build/*.proof from a previous run")
     ap.add_argument("--only-inner", action="store_true",
@@ -123,7 +125,8 @@ def main():
     t0 = time.time()
     log(f"agg: building circuit (k={args.agg_k}, lanes={args.lanes})")
     circuit = X509VerifierAggregationCircuit(
-        snarks, k=args.agg_k, lanes=args.lanes, na=args.na)
+        snarks, k=args.agg_k, lanes=args.lanes, na=args.na,
+        universal=args.universal)
     rep = circuit.rows_report()
     log(f"agg rows: {rep}")
     timings["agg_build"] = round(time.time() - t0, 1)
