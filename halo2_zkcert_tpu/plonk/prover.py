@@ -266,44 +266,63 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
                 frops.mul(frops.add(lkd["a_perm"], beta_l),
                           frops.add(lkd["s_perm"], gamma_l)))
 
-    # ONE streaming pass per grand product: num/den/unit for a column are
+    # Small domains: the WHOLE stage (every chunk Z + lookup Z, chaining,
+    # blinding) fuses into ONE jitted device program (_gp_fn) — at k=17 the
+    # streamed per-column pipelines cost ~3 s of pure dispatch latency over
+    # the remote TPU tunnel for ~2 columns of actual math.  Big domains
+    # (H2T_U8_MIN_N) keep the streaming pass: num/den/unit for a column are
     # freed before the next column starts — materializing all ~21 triples
     # at once cost ~9 GB at k=20.  (The round-2 "batched" variant is gone:
     # its wrong-Z defect was the non-power-of-two grid-scan input, now
-    # impossible at the primitive, and per-column pipelines faster anyway —
-    # docs/DEBUG_R3_VERIFY_REGRESSION.md.)  Blinding draw order matches the
-    # old two-loop structure (chunks first, then lookups).
+    # impossible at the primitive — docs/DEBUG_R3_VERIFY_REGRESSION.md.)
+    # Blinding draw order matches the reference two-loop structure (chunks
+    # first, then lookups) in both paths — proof bytes are identical.
     _sc3 = _os.environ.get("H2T_SELFCHECK") == "3"
     sc3_ops = [] if _sc3 else None
     one_row = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
 
-    def _unit_of(num, den):
-        ratio = frops.mul(num, frops.batch_inv(den))
-        if _sc3:
-            sc3_ops.append((num, den))
-        return frops.prefix_product(
-            jnp.concatenate([one_row, ratio[:-1]], axis=0))
+    if not _shrink and not _sc3:
+        gp_run = _gp_fn(pk)
+        perm_vals = tuple(col_lagrange(c) for chunk in chunks for c in chunk)
+        lk_quads = tuple(x for lkd in lookups
+                         for x in (lkd["a"], lkd["s"],
+                                   lkd["a_perm"], lkd["s_perm"]))
+        blinds = tuple(Fr.from_ints(rng.fill(bf))
+                       for _ in range(len(chunks) + len(lookups)))
+        outs = gp_run(perm_vals, pk.sigma_lagrange, omega_pows,
+                      _fr(beta), _fr(gamma), lk_quads, blinds)
+        perm_zs = list(outs[:len(chunks)])
+        z_batch = list(outs)
+        for li, lkd in enumerate(lookups):
+            lkd["z"] = outs[len(chunks) + li]
+    else:
+        def _unit_of(num, den):
+            ratio = frops.mul(num, frops.batch_inv(den))
+            if _sc3:
+                sc3_ops.append((num, den))
+            return frops.prefix_product(
+                jnp.concatenate([one_row, ratio[:-1]], axis=0))
 
-    perm_zs = []
-    start = _fr(1)                 # device scalar — chunk chaining, no fetch
-    for ci, chunk in enumerate(chunks):
-        unit = _unit_of(*_gp_perm(ci, chunk))
-        z = unit if ci == 0 else frops.mul(
-            unit, jnp.broadcast_to(start[None], (n, NL)))
-        unit = None
-        start = z[u_row]
-        z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
-        z = _post_commit(z)
-        perm_zs.append(z)
+        perm_zs = []
+        start = _fr(1)             # device scalar — chunk chaining, no fetch
+        for ci, chunk in enumerate(chunks):
+            unit = _unit_of(*_gp_perm(ci, chunk))
+            z = unit if ci == 0 else frops.mul(
+                unit, jnp.broadcast_to(start[None], (n, NL)))
+            unit = None
+            start = z[u_row]
+            z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
+            z = _post_commit(z)
+            perm_zs.append(z)
 
-    # -- 4: lookup grand products ------------------------------------------------
-    z_batch = list(perm_zs)
-    for li, lkd in enumerate(lookups):
-        z = _unit_of(*_gp_lookup(lkd))
-        z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
-        z = _post_commit(z)
-        z_batch.append(z)
-        lkd["z"] = z
+        # -- 4: lookup grand products --------------------------------------------
+        z_batch = list(perm_zs)
+        for li, lkd in enumerate(lookups):
+            z = _unit_of(*_gp_lookup(lkd))
+            z = z.at[n - bf:].set(Fr.from_ints(rng.fill(bf)))
+            z = _post_commit(z)
+            z_batch.append(z)
+            lkd["z"] = z
 
     if _os.environ.get("H2T_SELFCHECK") == "3":
         # level 3: validate the grand-product recurrences over H (mock
@@ -1301,6 +1320,78 @@ def _quotient_fn_coset(pk: ProvingKey):
         return out
 
     return run
+
+
+def _gp_fn(pk: ProvingKey):
+    """ONE fused device program for the whole grand-product stage (small
+    domains): every permutation-chunk Z (with cross-chunk chaining, the
+    reference's halo2 permutation argument [dep]) and every lookup Z,
+    including blinding-row writes.  Returns `run(perm_vals, sigma,
+    omega_pows, beta_row, gamma_row, lk_quads, blinds) -> tuple of Z
+    columns` (chunks first, then lookups — commit order)."""
+    cached = pk.__dict__.get("_gp_prog")
+    if cached is not None:
+        return cached
+
+    csys = pk.vk.cs
+    dom = pk.domain()
+    n = dom.n
+    bf = csys.blinding_factors()
+    u_row = n - bf - 1
+    chunk_len = csys.permutation_chunk_len()
+    perm_cols = csys.permutation_columns
+    chunks = [perm_cols[i:i + chunk_len]
+              for i in range(0, len(perm_cols), chunk_len)]
+    num_lk = len(csys.lookups)
+
+    def run(perm_vals, sigma, omega_pows, beta_row, gamma_row,
+            lk_quads, blinds):
+        beta_l = jnp.broadcast_to(beta_row[None], (n, NL))
+        gamma_l = jnp.broadcast_to(gamma_row[None], (n, NL))
+        one = jnp.zeros((1, NL), jnp.int32).at[0, 0].set(1)
+        ob = frops.mul(omega_pows, beta_l)
+
+        def unit_of(num, den):
+            ratio = frops.mul(num, frops.batch_inv(den))
+            return frops.prefix_product(
+                jnp.concatenate([one, ratio[:-1]], axis=0))
+
+        outs = []
+        start = None
+        vi = 0
+        for ci, chunk in enumerate(chunks):
+            num = den = None
+            for pos in range(len(chunk)):
+                gpos = ci * chunk_len + pos
+                v = perm_vals[vi].astype(jnp.int32)
+                vi += 1
+                dconst = jnp.broadcast_to(jnp.asarray(
+                    limbs.int_to_limbs(pow(DELTA, gpos, rc.FR), NL),
+                    jnp.int32)[None], (n, NL))
+                t_num = frops.add(frops.add(v, frops.mul(ob, dconst)),
+                                  gamma_l)
+                t_den = frops.add(
+                    frops.add(v, frops.mul(sigma[gpos].astype(jnp.int32),
+                                           beta_l)), gamma_l)
+                num = t_num if num is None else frops.mul(num, t_num)
+                den = t_den if den is None else frops.mul(den, t_den)
+            z = unit_of(num, den)
+            if start is not None:
+                z = frops.mul(z, jnp.broadcast_to(start[None], (n, NL)))
+            start = z[u_row]
+            outs.append(z.at[n - bf:].set(blinds[len(outs)]))
+        for li in range(num_lk):
+            a, s, ap, sp = (x.astype(jnp.int32)
+                            for x in lk_quads[4 * li:4 * li + 4])
+            num = frops.mul(frops.add(a, beta_l), frops.add(s, gamma_l))
+            den = frops.mul(frops.add(ap, beta_l), frops.add(sp, gamma_l))
+            z = unit_of(num, den)
+            outs.append(z.at[n - bf:].set(blinds[len(outs)]))
+        return tuple(outs)
+
+    run_jit = jax.jit(run)
+    pk.__dict__["_gp_prog"] = run_jit
+    return run_jit
 
 
 def _quotient_fn(pk: ProvingKey):

@@ -127,3 +127,17 @@ def test_loader_core_verifier_agrees(toy):
     assert verify_proof_core(params, pk.vk, instances, proof, PoseidonTranscript)
     bad = [[(instances[0][0] + 1) % rc.FR]]
     assert not verify_proof_core(params, pk.vk, bad, proof, PoseidonTranscript)
+
+
+def test_fused_gp_matches_streaming_bytes(toy, monkeypatch, capsys):
+    """The fused grand-product program (prover._gp_fn, small domains) and
+    the streaming per-column pipeline (forced via H2T_SELFCHECK=3) must
+    produce byte-identical proofs — same math, same blinding draw order."""
+    data, advice, instances, params, pk = toy
+    fused = create_proof(params, pk, advice, instances, PoseidonTranscript())
+    monkeypatch.setenv("H2T_SELFCHECK", "3")
+    streamed = create_proof(params, pk, advice, instances,
+                            PoseidonTranscript())
+    out = capsys.readouterr().out
+    assert "VIOLATED" not in out
+    assert fused == streamed
