@@ -126,6 +126,72 @@ def _axpy(acc, poly, scalar: int):
     return frops.add(acc, term)
 
 
+_FUSED_PROGS: dict = {}
+
+
+def _fused_open_progs(n: int, npts: tuple, npolys: tuple, maxd: int):
+    """Two jitted programs for the whole multiopen device math (structure
+    is static per circuit): `fh(polys, ypow, vpow, Rc, zpts, omega) ->
+    (H, P-stack)` and `fw(P, H, omega, wscal, ru, zt_neg, zdiff0_inv, u)
+    -> W`.  The eager loops issued ~60 small dispatches between squeezes
+    — pure tunnel latency (same disease the grand-product stage had)."""
+    key = (n, npts, npolys, maxd)
+    cached = _FUSED_PROGS.get(key)
+    if cached is not None:
+        return cached
+    import jax
+
+    S = len(npts)
+
+    def bcr(row):
+        return jnp.broadcast_to(row[None].astype(jnp.int32), (n, NL))
+
+    def fh(polys, ypow, vpow, Rc, zpts, omega):
+        pwd = [None] * max(maxd, 1)
+        pwd[0] = None                       # omega^0 == 1: skip the mul
+        for d in range(1, maxd):
+            pwd[d] = omega if d == 1 else frops.mul(pwd[d - 1], omega)
+        zs = []
+        Ps = []
+        for i in range(S):
+            P = None
+            for j in range(npolys[i]):
+                term = frops.mul(polys[i][j].astype(jnp.int32),
+                                 bcr(ypow[j])) if j else \
+                    polys[i][j].astype(jnp.int32)
+                P = term if P is None else frops.add(P, term)
+            Ps.append(P)
+            z = None
+            for t in range(npts[i]):
+                zt = frops.sub(omega, bcr(zpts[i, t]))
+                z = zt if z is None else frops.mul(z, zt)
+            zs.append(z)
+        zinv = frops.batch_inv(
+            jnp.concatenate(zs, axis=0)).reshape(S, n, NL)
+        H = None
+        for i in range(S):
+            r_vals = bcr(Rc[i, 0])
+            for d in range(1, npts[i]):
+                r_vals = frops.add(r_vals, frops.mul(pwd[d], bcr(Rc[i, d])))
+            h = frops.mul(frops.sub(Ps[i], r_vals), zinv[i])
+            h = frops.mul(h, bcr(vpow[i])) if i else h
+            H = h if H is None else frops.add(H, h)
+        return H, tuple(Ps)
+
+    def fw(Ps, H, omega, wscal, ru, zt_neg, zdiff0_inv, u):
+        L = None
+        for i in range(S):
+            term = frops.mul(frops.sub(Ps[i], bcr(ru[i])), bcr(wscal[i]))
+            L = term if L is None else frops.add(L, term)
+        L = frops.add(L, frops.mul(H, bcr(zt_neg)))
+        L = frops.mul(L, bcr(zdiff0_inv))
+        return frops.mul(L, frops.batch_inv(frops.sub(omega, bcr(u))))
+
+    progs = (jax.jit(fh), jax.jit(fw))
+    _FUSED_PROGS[key] = progs
+    return progs
+
+
 def open_shplonk(params, queries, transcript, dom):
     """Prover side: runs the y/v/H/u/W' protocol on `transcript`.
 
@@ -138,8 +204,100 @@ def open_shplonk(params, queries, transcript, dom):
     Lagrange SRS; the resulting polynomials (and hence the proof bytes)
     are mathematically identical to the reference's coefficient-domain
     computation (halo2_proofs shplonk prover [dep] Cargo.lock:1320),
-    without any iNTT or sequential synthetic-division scans.
+    without any iNTT or sequential synthetic-division scans.  The device
+    math runs as TWO fused programs (one per transcript round); set
+    H2T_MULTIOPEN=eager for the dispatch-per-op reference path (byte-
+    identical, tested).
     """
+    import os as _os
+    if _os.environ.get("H2T_MULTIOPEN") == "eager":
+        return _open_shplonk_eager(params, queries, transcript, dom)
+    rsets = _group_rotation_sets(queries)
+    super_points = []
+    for pts, _ in rsets:
+        for p in pts:
+            if p not in super_points:
+                super_points.append(p)
+
+    y = transcript.squeeze_challenge()
+
+    # host scalar glue: per-set interpolations R_i of the y-combined evals
+    combined_meta = []          # (pts, [polys], R coeffs)
+    for pts, polys in rsets:
+        evs = [0] * len(pts)
+        yk = 1
+        parr = []
+        for name, qmap in polys:
+            parr.append(qmap[pts[0]].poly)
+            for t, p in enumerate(pts):
+                evs[t] = (evs[t] + yk * qmap[p].eval) % rc.FR
+            yk = yk * y % rc.FR
+        R = _lagrange_interpolate(list(pts), evs)
+        combined_meta.append((pts, parr, R))
+
+    v = transcript.squeeze_challenge()
+
+    n = dom.n
+    S = len(combined_meta)
+    npts = tuple(len(pts) for pts, _, _ in combined_meta)
+    npolys = tuple(len(parr) for _, parr, _ in combined_meta)
+    maxd = max(npts)
+    maxp = max(npolys)
+    fh, fw = _fused_open_progs(n, npts, npolys, maxd)
+
+    ypow_l = [1] * maxp
+    for j in range(1, maxp):
+        ypow_l[j] = ypow_l[j - 1] * y % rc.FR
+    vpow_l = [1] * S
+    for i in range(1, S):
+        vpow_l[i] = vpow_l[i - 1] * v % rc.FR
+    Rc = [[0] * maxd for _ in range(S)]
+    zpts = [[0] * maxd for _ in range(S)]
+    for i, (pts, _, R) in enumerate(combined_meta):
+        for d, c in enumerate(R):
+            Rc[i][d] = c
+        for t, p in enumerate(pts):
+            zpts[i][t] = p
+    # ONE host->device upload for every proof-dependent scalar
+    flat = (ypow_l + vpow_l + [c for row in Rc for c in row]
+            + [p for row in zpts for p in row])
+    dev = Fr.from_ints(flat)
+    ypow = dev[:maxp]
+    vpow = dev[maxp:maxp + S]
+    off = maxp + S
+    Rc_d = dev[off:off + S * maxd].reshape(S, maxd, NL)
+    off += S * maxd
+    zpts_d = dev[off:off + S * maxd].reshape(S, maxd, NL)
+
+    omega_pows = dom.omega_pows_device
+    H, Ps = fh(tuple(tuple(parr) for _, parr, _ in combined_meta),
+               ypow, vpow, Rc_d, zpts_d, omega_pows)
+    h_commit = params.commit_lagrange(H)
+    transcript.write_point(h_commit)
+
+    u = transcript.squeeze_challenge()
+
+    zt_eval = _vanishing_eval(super_points, u)
+    wscal_l, ru_l = [], []
+    z_diff_0 = None
+    for i, (pts, _, R) in enumerate(combined_meta):
+        diff_pts = [p for p in super_points if p not in pts]
+        z_i = _vanishing_eval(diff_pts, u)
+        if z_diff_0 is None:
+            z_diff_0 = z_i
+        wscal_l.append(vpow_l[i] * z_i % rc.FR)
+        ru_l.append(_eval_poly_host(R, u))
+    flat2 = (wscal_l + ru_l
+             + [(-zt_eval) % rc.FR, rc.finv(z_diff_0, rc.FR), u])
+    dev2 = Fr.from_ints(flat2)
+    W = fw(Ps, H, omega_pows, dev2[:S], dev2[S:2 * S],
+           dev2[2 * S], dev2[2 * S + 1], dev2[2 * S + 2])
+    w_commit = params.commit_lagrange(W)
+    transcript.write_point(w_commit)
+
+
+def _open_shplonk_eager(params, queries, transcript, dom):
+    """Dispatch-per-op reference path (H2T_MULTIOPEN=eager)."""
     rsets = _group_rotation_sets(queries)
     super_points = []
     for pts, _ in rsets:

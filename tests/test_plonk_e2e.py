@@ -141,3 +141,14 @@ def test_fused_gp_matches_streaming_bytes(toy, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "VIOLATED" not in out
     assert fused == streamed
+
+
+def test_fused_multiopen_matches_eager_bytes(toy, monkeypatch):
+    """The two fused multiopen programs (shplonk._fused_open_progs) and the
+    dispatch-per-op path (H2T_MULTIOPEN=eager) must produce byte-identical
+    proofs."""
+    data, advice, instances, params, pk = toy
+    fused = create_proof(params, pk, advice, instances, PoseidonTranscript())
+    monkeypatch.setenv("H2T_MULTIOPEN", "eager")
+    eager = create_proof(params, pk, advice, instances, PoseidonTranscript())
+    assert fused == eager
