@@ -16,5 +16,5 @@ Cargo.lock:2223]; the TPU-native equivalents here are:
 """
 from .context import active_mesh, prover_mesh
 from .mesh import default_mesh, make_mesh
-from .msm_sharded import msm_sharded
+from .msm_sharded import msm_sharded, msm_sharded_affine
 from .ntt_sharded import ntt_sharded

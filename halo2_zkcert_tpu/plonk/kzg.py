@@ -404,8 +404,12 @@ def _commit_batch(base: jnp.ndarray, cols, group: int = 1) -> list:
             accs.append(jnp.stack(msm_sharded(base_sh, col, mesh, axis)))
             if (i + 1) % group == 0 and i + 1 < m:
                 np.asarray(accs[-1][0, :1])   # host fetch = real barrier
-        aff = np.asarray(_to_affine_batch(jnp.stack(
-            [jax.device_put(a, jax.devices()[0]) for a in accs])))
+        # the all-gathered accumulators are REPLICATED on the global mesh:
+        # host-fetch them (legal for fully-replicated arrays even when the
+        # mesh spans processes — a device_put onto one local device is not)
+        # and run the tiny affine normalization on the default device
+        aff = np.asarray(_to_affine_batch(jnp.asarray(
+            np.stack([np.asarray(a) for a in accs]))))
         return _affine_batch_to_ints(aff)
     accs = []
     for i in range(m):

@@ -404,6 +404,30 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
         # consumers)
         pk.fixed_coeff = None
         pk.sigma_coeff = None
+        # WITNESS lagrange columns (advice + Zs + lookup permuted columns,
+        # ~2.9 GB at the k=20 aggregation) are likewise idle through the
+        # coset quotient (it consumes only its own coeff staging): stash
+        # them to host the moment the staging pass completes (callback
+        # from _quotient_fn_coset) and restore before the evals.  The
+        # compressed lookup a/s columns have NO post-quotient consumers at
+        # all — freed outright.  (Two k=20 OOMs landed in the coset loop
+        # with these resident.)
+        wit_stash: dict = {}
+        if not _os.environ.get("H2T_SELFCHECK"):
+            def _stash_witness():
+                for lkd in lookups:
+                    lkd["a"] = lkd["s"] = None
+                wit_stash["advice"] = [np.asarray(c) for c in advice_cols]
+                for i in range(len(advice_cols)):
+                    advice_cols[i] = None
+                wit_stash["permz"] = [np.asarray(c) for c in perm_zs]
+                for i in range(len(perm_zs)):
+                    perm_zs[i] = None
+                for key in ("z", "a_perm", "s_perm"):
+                    wit_stash[key] = [np.asarray(d[key]) for d in lookups]
+                    for d in lookups:
+                        d[key] = None
+            pk.__dict__["_on_coeff_staged"] = _stash_witness
     # column LISTS, not stacks: the quotient run stacks (one-shot mode) or
     # converts per column (coset mode); pre-stacking duplicated ~2.4 GB of
     # columns that must ALSO stay alive for the evals/multiopen
@@ -418,9 +442,19 @@ def create_proof(params: ParamsKZG, pk: ProvingKey, witness,
     if _shrink:
         # the monomial table served its only consumers (the h commits)
         params.__dict__.pop("_fb_monomial", None)
+        pk.__dict__.pop("_on_coeff_staged", None)
         mirror = pk.__dict__["_host_mirror"]
         pk.fixed_lagrange = jnp.asarray(mirror["fixed_lagrange"])
         pk.sigma_lagrange = jnp.asarray(mirror["sigma_lagrange"])
+        if wit_stash:
+            for i, h in enumerate(wit_stash["advice"]):
+                advice_cols[i] = jnp.asarray(h)
+            for i, h in enumerate(wit_stash["permz"]):
+                perm_zs[i] = jnp.asarray(h)
+            for key in ("z", "a_perm", "s_perm"):
+                for d, h in zip(lookups, wit_stash[key]):
+                    d[key] = jnp.asarray(h)
+            wit_stash.clear()
 
     _tick("quotient+commit")
     x = transcript.squeeze_challenge()
@@ -1120,7 +1154,9 @@ def _make_pointwise(csys, pk, rows: int, stride: int):
 # regardless of k.  (The aggregation circuit at k>=20 carries 50+ fixed +
 # 20+ sigma columns: materializing them on the 4n extended domain as int32
 # wants ~85 GB on a 16 GB chip.)
-_EXT_BUDGET = int(_os.environ.get("H2T_EXT_BUDGET_BYTES", 2 << 30))
+def _ext_budget() -> int:
+    # read per call so tests/tools can retune without re-importing
+    return int(_os.environ.get("H2T_EXT_BUDGET_BYTES", 2 << 30))
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -1255,6 +1291,14 @@ def _quotient_fn_coset(pk: ProvingKey):
             for col in src:
                 coeff_cols.append(_u8_rep(_lag2coeff_batch(col[None], k))[0])
                 np.asarray(coeff_cols[-1][:1, :1])
+        # the lagrange inputs are never read again here: drop this frame's
+        # references and let the caller stash its own to host (HBM headroom
+        # for the coset loop — see create_proof's _stash_witness)
+        for src in sources:
+            src.clear()
+        cb = pk.__dict__.pop("_on_coeff_staged", None)
+        if cb is not None:
+            cb()
         _tick2(f"lag2coeff+u8 x{sum(counts)}")
 
         mirror = pk.__dict__.get("_host_mirror", {})
@@ -1291,7 +1335,10 @@ def _quotient_fn_coset(pk: ProvingKey):
                                 aux_c[2], ident_c, zh_inv_c)
             np.asarray(h_c[:1, :1])       # bound in-flight memory
             fresh = fixed_c = sigma_c = parts = None
-            h_cosets.append(h_c)
+            # canonical u8 while parked (int32 h values are 4x; the piece
+            # recombination below upcasts inside its own programs)
+            h_cosets.append(_to_u8(h_c[None])[0])
+            h_c = None
             _tick2(f"coset {c}")
 
         # pieces: batched size-n iNTT + per-coset g_c^{-d} scale + the
@@ -1424,7 +1471,7 @@ def _quotient_fn(pk: ProvingKey):
 
     live_cols = (csys.num_advice + csys.num_instance + csys.num_fixed
                  + len(perm_cols) + len(chunks) + 3 * num_lk + 4)
-    if live_cols * ext_n * NL * 4 > _EXT_BUDGET:
+    if live_cols * ext_n * NL * 4 > _ext_budget():
         run = _quotient_fn_coset(pk)
         pk.__dict__["_quotient_prog"] = run
         return run

@@ -210,7 +210,12 @@ def open_shplonk(params, queries, transcript, dom):
     identical, tested).
     """
     import os as _os
-    if _os.environ.get("H2T_MULTIOPEN") == "eager":
+    if _os.environ.get("H2T_MULTIOPEN") == "eager" or \
+            dom.n >= int(_os.environ.get("H2T_U8_MIN_N", 1 << 19)):
+        # big domains: the dispatch-per-op path keeps per-intermediate
+        # residency bounded (the fused programs give XLA scheduling
+        # freedom over ~100 upcasted int32 columns — k=20 HBM risk);
+        # latency fusion only matters at bench scale anyway
         return _open_shplonk_eager(params, queries, transcript, dom)
     rsets = _group_rotation_sets(queries)
     super_points = []

@@ -152,3 +152,20 @@ def test_fused_multiopen_matches_eager_bytes(toy, monkeypatch):
     monkeypatch.setenv("H2T_MULTIOPEN", "eager")
     eager = create_proof(params, pk, advice, instances, PoseidonTranscript())
     assert fused == eager
+
+
+def test_coset_quotient_with_stash_matches_bytes(toy, monkeypatch):
+    """Force the big-circuit configuration on the toy: coset-separated
+    quotient (H2T_EXT_BUDGET_BYTES=1), u8 column residency + witness
+    stash-to-host during the coset loop (H2T_U8_MIN_N=1).  Proof bytes
+    must match the default one-shot pipeline (exact arithmetic; identical
+    piece polynomials; blinding order unchanged)."""
+    data, advice, instances, params, pk = toy
+    base = create_proof(params, pk, advice, instances, PoseidonTranscript())
+    monkeypatch.setenv("H2T_EXT_BUDGET_BYTES", "1")
+    monkeypatch.setenv("H2T_U8_MIN_N", "1")
+    pk.__dict__.pop("_quotient_prog", None)   # re-select the coset pipeline
+    forced = create_proof(params, pk, advice, instances, PoseidonTranscript())
+    pk.__dict__.pop("_quotient_prog", None)
+    assert forced == base
+    assert verify_proof(params, pk.vk, instances, forced, PoseidonTranscript)
